@@ -1,0 +1,3 @@
+from searchlite_spark.index.schema import IndexSchema, TextField, KeywordField, NumericField  # noqa: F401
+from searchlite_spark.index.catalog import Index  # noqa: F401
+from searchlite_spark.index.build import build_index, assign_doc_ids  # noqa: F401

@@ -1,0 +1,288 @@
+"""Index build: corpus DataFrame -> inverted-index tables.
+
+The Spark-first re-expression of the reference's segment write
+(searchlite-core/src/index/segment.rs:603-933):
+
+1. deterministic dense doc_id assignment ordered by the doc-key string
+   (the reference assigns ordinals in BTreeMap doc-id order,
+   api/writer.rs:126-189) — done scalably with a range repartition +
+   per-partition offsets, NOT a single-partition window;
+2. Arrow-batched tokenization (``mapInPandas``) emitting per-(doc,term)
+   partial postings (tf + positions) — the per-doc aggregation happens
+   inside the pandas batch, so the shuffle moves (doc,term) rows, not
+   raw tokens;
+3. a range repartition by (term, doc_id) producing globally
+   term-sorted flat postings — hot head terms ("the") are split across
+   partitions by the (term, doc_id) composite range, which defuses
+   head-term skew without salting on this path;
+4. the term dictionary and global stats via partial/final hash
+   aggregation (map-side combine absorbs head-term skew);
+5. block-packed postings with block-max metadata + delta+varint
+   payloads for the WAND kernel (see ``index/blocks.py``) — here the
+   packing groupBy key is (term, block_group) so no single task ever
+   owns a whole hot term's postings.
+
+All statistics are global ("single-segment" scope, SURVEY.md §1.5).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from searchlite_spark.analysis.tokenizers import normalize_keyword, tokenize_values
+from searchlite_spark.index.catalog import Index, write_manifest
+from searchlite_spark.index.schema import IndexSchema
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("field", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def assign_doc_ids(
+    df: DataFrame, key: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Dense doc_id = rank of the row in the global `key` order.
+
+    Scalable two-pass: range-repartition by key, count rows per
+    partition (tiny collect), then window *within* each partition with
+    the partition's cumulative offset.  Avoids the classic
+    single-partition ``row_number() OVER (ORDER BY key)`` trap.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(df.rdd.getNumPartitions(), 8)
+    ranged = df.repartitionByRange(num_partitions, F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid INT, _offset LONG"
+    )
+    w = W.partitionBy("_pid").orderBy(key)
+    out = (
+        ranged.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            "doc_id", F.row_number().over(w).cast("long") + F.col("_offset") - 1
+        )
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+    """docs(doc_id, <fields>) -> flat postings (doc_id, field, term, tf, positions).
+
+    term keys are ``"{field}:{token}"`` like the reference
+    (segment.rs:674-679).  Keywords are ASCII-lowercased and
+    de-duplicated per doc, indexed at position 0 with no positions kept
+    (segment.rs:700-723).
+    """
+    text_fields = [(t.name, schema.index_analyzer_for(t.name)) for t in schema.text_fields]
+    kw_fields = schema.keyword_field_names
+    cols = ["doc_id"] + [n for n, _ in text_fields] + kw_fields
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_field, out_term, out_tf, out_pos = [], [], [], [], []
+            doc_ids = pdf["doc_id"].to_numpy()
+            for fname, analyzer in text_fields:
+                col = pdf[fname]
+                for i, raw in enumerate(col):
+                    if raw is None:
+                        continue
+                    if isinstance(raw, str):
+                        toks = analyzer(raw)
+                    else:  # multi-valued text field
+                        toks = tokenize_values(
+                            list(raw), lambda s, _a=analyzer: _a(s)
+                        )
+                    if not toks:
+                        continue
+                    agg: dict[str, list[int]] = {}
+                    for tok, pos in toks:
+                        agg.setdefault(tok, []).append(pos)
+                    did = doc_ids[i]
+                    prefix = fname + ":"
+                    for tok, poss in agg.items():
+                        out_doc.append(did)
+                        out_field.append(fname)
+                        out_term.append(prefix + tok)
+                        out_tf.append(len(poss))
+                        out_pos.append(poss)
+            for fname in kw_fields:
+                col = pdf[fname]
+                for i, raw in enumerate(col):
+                    if raw is None:
+                        continue
+                    vals = [raw] if isinstance(raw, str) else list(raw)
+                    seen = set()
+                    did = doc_ids[i]
+                    prefix = fname + ":"
+                    for v in vals:
+                        if v is None:
+                            continue
+                        norm = normalize_keyword(str(v))
+                        if norm in seen:
+                            continue
+                        seen.add(norm)
+                        out_doc.append(did)
+                        out_field.append(fname)
+                        out_term.append(prefix + norm)
+                        out_tf.append(1)
+                        out_pos.append([0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "field": pd.Series(out_field, dtype="object"),
+                    "term": pd.Series(out_term, dtype="object"),
+                    "tf": pd.Series(out_tf, dtype="int32"),
+                    "positions": pd.Series(out_pos, dtype="object"),
+                }
+            )
+
+    return docs.select(*cols).mapInPandas(emit, POSTING_SCHEMA)
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    schema: IndexSchema,
+    out_dir: str,
+    num_partitions: int | None = None,
+    block_size: int = 128,
+    build_blocks: bool = True,
+    checkpoint: bool = False,
+    input_snapshot: str | None = None,
+) -> Index:
+    t0 = time.time()
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
+    docs = docs.persist()
+    n_docs = docs.count()
+
+    postings_flat = tokenize_postings(docs, schema)
+
+    # Flat postings, globally range-sorted by (term, doc_id).  Range
+    # partitioning splits hot terms across partitions on doc_id; parquet
+    # row-group min/max on `term` gives dictionary-seek pruning.
+    postings_sorted = postings_flat.repartitionByRange(
+        num_partitions, "term", "doc_id"
+    ).sortWithinPartitions("term", "doc_id")
+    postings_path = f"{out_dir}/postings"
+    postings_sorted.write.mode("overwrite").parquet(postings_path)
+    postings = spark.read.parquet(postings_path)
+
+    # Per-doc field lengths (BM25 |d|): dl = Σ tf over the doc's text
+    # terms (== token count).  Equivalent of the reference's
+    # `_len:<field>` fast fields (fastfields.rs:1162-1164).
+    text_names = schema.text_field_names
+    dl = (
+        postings.where(F.col("field").isin(text_names))
+        .groupBy("doc_id", "field")
+        .agg(F.sum("tf").alias("dl"))
+        .groupBy("doc_id")
+        .pivot("field", text_names)
+        .agg(F.first("dl"))
+    )
+    for fname in text_names:
+        dl = dl.withColumnRenamed(fname, f"dl_{fname}")
+    docs_out = docs.join(dl, "doc_id", "left")
+    for fname in text_names:
+        docs_out = docs_out.withColumn(
+            f"dl_{fname}", F.coalesce(F.col(f"dl_{fname}"), F.lit(0)).cast("int")
+        )
+    docs_path = f"{out_dir}/docs"
+    docs_out.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(docs_path)
+
+    # Term dictionary: df / collection frequency / max tf.  Map-side
+    # partial aggregation absorbs head-term skew.
+    terms_path = f"{out_dir}/terms"
+    (
+        postings.groupBy("term")
+        .agg(
+            F.first("field").alias("field"),
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        .repartitionByRange(max(num_partitions // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(terms_path)
+    )
+
+    # Global stats (single-segment scope): avgdl = f32(Σ dl) / f32(N)
+    # (segment.rs compute_avg_lengths).
+    docs_read = spark.read.parquet(docs_path)
+    agg_exprs = []
+    for fname in text_names:
+        agg_exprs.append(F.sum(f"dl_{fname}").alias(f"total_{fname}"))
+    totals = docs_read.agg(*agg_exprs).collect()[0].asDict() if agg_exprs else {}
+    import numpy as np
+
+    avgdl = {
+        fname: float(
+            np.float32(totals.get(f"total_{fname}") or 0) / np.float32(n_docs)
+        )
+        if n_docs
+        else 0.0
+        for fname in text_names
+    }
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": avgdl,
+        "total_tokens": {f: int(totals.get(f"total_{f}") or 0) for f in text_names},
+    }
+
+    if build_blocks:
+        from searchlite_spark.index.blocks import build_block_postings
+
+        build_block_postings(
+            spark, postings, f"{out_dir}/blocks", block_size=block_size,
+            num_partitions=num_partitions,
+        )
+
+    build_secs = time.time() - t0
+    manifest = {
+        "format_version": 1,
+        "schema": schema.to_dict(),
+        "stats": stats,
+        "block_size": block_size,
+        "metrics": {
+            "build_secs": round(build_secs, 3),
+            "n_docs": int(n_docs),
+            "docs_per_sec": round(n_docs / build_secs, 1) if build_secs else None,
+            "num_partitions": num_partitions,
+        },
+        "lineage": {
+            "input_snapshot": input_snapshot,
+            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        },
+    }
+    write_manifest(out_dir, manifest)
+    docs.unpersist()
+    return Index(path=out_dir, spark=spark)

@@ -1,0 +1,82 @@
+"""Index layout on storage + reader handles.
+
+An index is a directory of Parquet tables plus a JSON manifest —
+functionally the reference's ``manifest + immutable segments``
+(searchlite-core/src/index/manifest.rs:14-35) re-expressed as a lake
+layout.  Single-"segment" semantics: all BM25 statistics are global
+(the parity target — see SURVEY.md §1.5).
+
+    <dir>/
+      manifest.json        schema, stats, build metrics, lineage
+      docs/                corpus + doc_id + per-field token lengths
+      postings/            (term, doc_id, tf, positions)  range-sorted by (term, doc_id)
+      terms/               (term, df, cf, max_tf)         the term dictionary
+      blocks/              (term, block_id, max_doc_id, max_tf, n, doc_ids, tfs)
+                           block-packed postings with block-max metadata for WAND
+      checkpoints/         per-partition build lineage markers (resume)
+
+On a real cluster these would be Iceberg tables (atomic snapshot
+commit); plain Parquet directories + an atomically-renamed manifest
+give the same semantics in this sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Index:
+    path: str
+    spark: SparkSession
+
+    @property
+    def manifest(self) -> dict:
+        if not hasattr(self, "_manifest"):
+            with open(os.path.join(self.path, "manifest.json")) as f:
+                self._manifest = json.load(f)
+        return self._manifest
+
+    @property
+    def schema(self):
+        from searchlite_spark.index.schema import IndexSchema
+
+        return IndexSchema.from_dict(self.manifest["schema"])
+
+    @property
+    def stats(self) -> dict:
+        """Global stats: {"n_docs": N, "avgdl": {field: float},
+        "total_tokens": {field: int}} — single-segment scope."""
+        return self.manifest["stats"]
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "docs"))
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    def terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "terms"))
+
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "blocks"))
+
+    def has_blocks(self) -> bool:
+        return os.path.isdir(os.path.join(self.path, "blocks"))
+
+
+def write_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest commit (write + rename), mirroring the
+    reference's atomic_write (searchlite-core/src/storage/mod.rs:104-117)."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".manifest.{os.getpid()}.{time.time_ns()}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "manifest.json"))

@@ -1,0 +1,612 @@
+"""The search engine: plan -> DataFrame execution -> ranked hits.
+
+Brute-force ("bm25") execution path — the oracle strategy, equivalent
+to the reference's ``execution: "bm25"`` (wand.rs:459-566): score every
+posting of every query term, sum per doc, global top-k.  In Spark:
+
+    postings ⨝ broadcast(query-key info)      (pushed-down term IN scan)
+             ⨝ docs (doc lengths, pruned columns)
+      -> per-posting BM25 contribution (whole-stage-codegen'd column)
+      -> groupBy(doc_id): score sum + matched-group set
+      -> matcher predicate + filters
+      -> ORDER BY score DESC, doc_id ASC LIMIT k
+
+The WAND/BMW paths (see ``wand.py``) share everything but the scoring
+scan, which they replace with a block-max-pruned kernel over the
+packed ``blocks`` table.
+
+Tie-break parity: score desc, doc_id asc (wand.rs:16-43,905-926).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from searchlite_spark.index.catalog import Index
+from searchlite_spark.query import plan as P
+from searchlite_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, bm25_col
+from searchlite_spark.query.expand import DictionaryExpander, expand_groups
+from searchlite_spark.query.filters import compile_filters
+from searchlite_spark.query.planner import build_query_plan, expand_phrases
+
+DEFAULT_LIMIT = 10
+
+
+# --------------------------------------------------------------------------
+# matcher -> Column over (groups, phrases, docs columns)
+
+
+def _has_group(gid: int) -> Column:
+    return F.array_contains(F.col("_groups"), gid)
+
+
+def _has_phrase(pid: int) -> Column:
+    return F.array_contains(F.col("_phrases"), pid)
+
+
+def matcher_col(node, docs_df: DataFrame) -> Column:
+    """Evaluate the matcher tree per-doc (reader.rs:1481-1598)."""
+    if isinstance(node, P.MatchAll):
+        return F.lit(True)
+    if isinstance(node, P.NothingMatcher):
+        return F.lit(False)
+    if isinstance(node, P.TermGroupRef):
+        return _has_group(node.group_id)
+    if isinstance(node, P.PhraseRef):
+        return _has_phrase(node.phrase_id)
+    if isinstance(node, P.QueryStringMatcher):
+        if not node.term_groups and not node.phrase_groups and not node.not_term_groups:
+            return F.lit(False)
+        cond = F.lit(True)
+        for gid in node.not_term_groups:
+            cond = cond & ~_has_group(gid)
+        for pid in node.phrase_groups:
+            cond = cond & _has_phrase(pid)
+        if not node.term_groups:
+            if node.phrase_groups or node.not_term_groups:
+                return cond
+            return F.lit(False)
+        matched = sum(
+            (_has_group(g).cast("int") for g in node.term_groups),
+            F.lit(0),
+        )
+        required = node.minimum_should_match if node.minimum_should_match is not None else 1
+        return cond & (matched >= F.lit(required))
+    if isinstance(node, P.DisMaxMatcher):
+        if not node.children:
+            return F.lit(False)
+        cond = F.lit(False)
+        for c in node.children:
+            cond = cond | matcher_col(c, docs_df)
+        return cond
+    if isinstance(node, P.BoolMatcher):
+        cond = F.lit(True)
+        for c in node.must:
+            cond = cond & matcher_col(c, docs_df)
+        for c in node.must_not:
+            cond = cond & ~matcher_col(c, docs_df)
+        if node.filter:
+            cond = cond & compile_filters(docs_df, node.filter)
+        if node.should:
+            msm = node.minimum_should_match
+            if msm is None:
+                msm = 1 if (not node.must and not node.filter) else 0
+            if msm > 0:
+                should_matched = sum(
+                    (matcher_col(c, docs_df).cast("int") for c in node.should),
+                    F.lit(0),
+                )
+                cond = cond & (should_matched >= F.lit(msm))
+        return cond
+    raise ValueError(f"unknown matcher {type(node)}")
+
+
+def may_match_empty(node) -> bool:
+    """Whether a doc with no query-term/phrase hits can still match —
+    decides candidate-only vs full-scan execution."""
+    if isinstance(node, P.MatchAll):
+        return True
+    if isinstance(node, (P.TermGroupRef, P.PhraseRef, P.NothingMatcher)):
+        return False
+    if isinstance(node, P.QueryStringMatcher):
+        if not node.term_groups and not node.phrase_groups and not node.not_term_groups:
+            return False
+        if node.phrase_groups:
+            return False
+        if not node.term_groups:
+            return True  # pure negation
+        required = node.minimum_should_match if node.minimum_should_match is not None else 1
+        return required <= 0
+    if isinstance(node, P.DisMaxMatcher):
+        return any(may_match_empty(c) for c in node.children)
+    if isinstance(node, P.BoolMatcher):
+        for c in node.must:
+            if not may_match_empty(c):
+                return False
+        # must_not of a non-empty-matching child doesn't exclude an empty doc
+        msm = node.minimum_should_match
+        if msm is None:
+            msm = 1 if (not node.must and not node.filter and node.should) else 0
+        if msm > 0:
+            matched = sum(1 for c in node.should if may_match_empty(c))
+            if matched < msm:
+                return False
+        if not node.must and not node.should and not node.filter and not node.must_not:
+            return False
+        return True
+    return True
+
+
+# --------------------------------------------------------------------------
+# score expression -> Column over leaf columns
+
+
+def score_col(expr, leaf_map: Column | None) -> Column:
+    """Evaluate the score tree.  ``leaf_map`` is a MAP<int, double> of
+    per-leaf sums (None on the pure-sum fast path, where the caller
+    already summed)."""
+    if expr is None:
+        return F.lit(0.0)
+    if isinstance(expr, P.ScoreLeaf):
+        return F.coalesce(leaf_map.getItem(expr.leaf), F.lit(0.0))
+    if isinstance(expr, P.ScoreSum):
+        return sum((score_col(c, leaf_map) for c in expr.children), F.lit(0.0))
+    if isinstance(expr, P.ScoreDisMax):
+        children = [score_col(c, leaf_map) for c in expr.children]
+        if len(children) == 1:
+            return children[0]
+        mx = F.greatest(*children)
+        total = sum(children, F.lit(0.0))
+        # max + tie * (sum - max)  (planner.rs:131-153)
+        return mx + F.lit(expr.tie_breaker) * (total - mx)
+    raise ValueError(f"unknown score expr {type(expr)}")
+
+
+# --------------------------------------------------------------------------
+
+
+class Searcher:
+    def __init__(self, index: Index):
+        self.index = index
+        self.spark = index.spark
+        self.schema = index.schema
+        self.stats = index.stats
+        # docs/terms are reused across every query — keep them warm
+        self.docs = index.docs().persist()
+        self.postings = index.postings()
+        self.terms = index.terms().persist()
+        self.expander = DictionaryExpander(self.terms)
+        self.k1 = K1_DEFAULT
+        self.b = B_DEFAULT
+
+    # -- public API -----------------------------------------------------
+
+    def search(self, request: dict) -> dict:
+        """Full search: returns the reference-shaped response dict."""
+        hits_df, total = self.search_df(request, with_total=True)
+        limit = int(request.get("limit", DEFAULT_LIMIT))
+        rows = hits_df.limit(limit).collect()
+        hits = []
+        for r in rows:
+            d = r.asDict()
+            hits.append(
+                {
+                    "doc_id": d.pop("doc_id"),
+                    "score": d.pop("score", None),
+                    "fields": d,
+                }
+            )
+        resp = {"total_hits_estimate": total, "hits": hits}
+        aggs = request.get("aggs") or request.get("aggregations")
+        if aggs:
+            from searchlite_spark.query.aggs import run_aggregations
+
+            match_set = self.match_set(request)
+            resp["aggregations"] = run_aggregations(
+                match_set, self.docs, aggs
+            )
+        return resp
+
+    def search_df(
+        self, request: dict, with_total: bool = False
+    ) -> DataFrame | tuple[DataFrame, int | None]:
+        """Ranked hits as a DataFrame (doc_id, score, <doc fields>)."""
+        if int(request.get("limit", DEFAULT_LIMIT)) <= 0:
+            raise ValueError("limit must be > 0")
+        scored = self._matched_scored(request)
+        limit = int(request.get("limit", DEFAULT_LIMIT))
+        total = scored.count() if with_total else None
+
+        sort = request.get("sort")
+        ordered = self._apply_sort(scored, sort)
+        top = ordered.limit(limit)
+        out = top.join(self.docs, "doc_id", "left").orderBy(
+            *self._sort_cols(sort)
+        )
+        if with_total:
+            return out, total
+        return out
+
+    def match_set(self, request: dict) -> DataFrame:
+        """All matching (doc_id, score) — the aggregation input."""
+        return self._matched_scored(request)
+
+    # -- core -----------------------------------------------------------
+
+    def _matched_scored(self, request: dict) -> DataFrame:
+        plan, builder = build_query_plan(request, self.schema)
+        groups, qualified = expand_groups(
+            builder, self.schema, self.expander, request.get("fuzzy")
+        )
+        phrase_specs = expand_phrases(builder, self.schema)
+        plan.term_groups = groups
+        plan.qualified_terms = qualified
+        plan.phrase_specs = phrase_specs
+
+        execution = (request.get("execution") or "bm25").lower()
+        needs_score = plan.score_expr is not None
+
+        # ---- per-key info table (tiny; broadcast) ----
+        key_groups: dict[str, list[int]] = {}
+        for g in groups:
+            for k in g.keys:
+                key_groups.setdefault(k, []).append(g.group_id)
+        # duplicate keys sum weights; leaf is consistent per key
+        # (reader.rs:2971-2983)
+        key_weight: dict[str, tuple[float, int, str]] = {}
+        for qt in qualified:
+            if qt.key in key_weight:
+                w, leaf, fld = key_weight[qt.key]
+                key_weight[qt.key] = (w + qt.weight, leaf, fld)
+            else:
+                key_weight[qt.key] = (qt.weight, qt.leaf, qt.field)
+        all_keys = sorted(set(key_groups) | set(key_weight))
+
+        scored = None
+        if all_keys:
+            key_df = self._key_info_df(all_keys, key_groups, key_weight)
+            cand = self.postings.where(F.col("term").isin(all_keys)).select(
+                "doc_id", "term", "tf"
+            )
+            scored = self._score_candidates(cand, key_df, needs_score, plan)
+
+        # ---- phrase matches ----
+        phrases_df = None
+        live_phrases = [p for p in phrase_specs if p.field_tokens]
+        if live_phrases:
+            phrases_df = self._phrase_matches(live_phrases)
+
+        # ---- assemble per-doc row set ----
+        full_scan = may_match_empty(plan.matcher)
+        if full_scan:
+            base = self.docs.select("doc_id")
+            if scored is not None:
+                base = base.join(scored, "doc_id", "left")
+            else:
+                base = base.withColumn("_groups", F.array().cast("array<int>"))
+                base = base.withColumn("score", F.lit(None).cast("double"))
+                base = base.withColumn(
+                    "_leaf_scores", F.lit(None).cast("map<int,double>")
+                )
+        else:
+            if scored is None and phrases_df is None:
+                return self._empty_hits()
+            if scored is not None:
+                base = scored
+            else:
+                base = phrases_df.select("doc_id").withColumn(
+                    "_groups", F.array().cast("array<int>")
+                ).withColumn("score", F.lit(None).cast("double")).withColumn(
+                    "_leaf_scores", F.lit(None).cast("map<int,double>")
+                )
+        if phrases_df is not None:
+            base = base.join(phrases_df, "doc_id", "left")
+            base = base.withColumn(
+                "_phrases",
+                F.coalesce(F.col("_phrases"), F.array().cast("array<int>")),
+            )
+        else:
+            base = base.withColumn("_phrases", F.array().cast("array<int>"))
+        base = base.withColumn(
+            "_groups", F.coalesce(F.col("_groups"), F.array().cast("array<int>"))
+        )
+
+        # ---- matcher + filters need doc columns? join pruned docs ----
+        needed_cols = self._filter_columns(plan)
+        if needed_cols:
+            docs_slim = self.docs.select("doc_id", *sorted(needed_cols))
+            base = base.join(docs_slim, "doc_id", "left")
+
+        matched = base.where(matcher_col(plan.matcher, base))
+        if plan.root_filter:
+            matched = matched.where(compile_filters(matched, plan.root_filter))
+
+        # ---- final score ----
+        if needs_score:
+            if P.is_pure_sum(plan.score_expr):
+                score = F.coalesce(F.col("score"), F.lit(0.0))
+            else:
+                score = score_col(plan.score_expr, F.col("_leaf_scores"))
+        else:
+            # match-only / match_all: constant 1.0 (reader.rs:3150-3151)
+            score = F.lit(1.0)
+        return matched.select(
+            "doc_id", score.alias("score")
+        )
+
+    def _empty_hits(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id LONG, score DOUBLE")
+
+    def _key_info_df(self, all_keys, key_groups, key_weight) -> DataFrame:
+        """(term, groups, weight, leaf, df_key) — df from the dictionary."""
+        stats_rows = (
+            self.terms.where(F.col("term").isin(all_keys))
+            .select("term", "df")
+            .collect()
+        )
+        df_map = {r["term"]: r["df"] for r in stats_rows}
+        rows = []
+        for k in all_keys:
+            w_leaf = key_weight.get(k)
+            rows.append(
+                (
+                    k,
+                    key_groups.get(k, []),
+                    float(w_leaf[0]) if w_leaf else None,
+                    int(w_leaf[1]) if w_leaf else None,
+                    k.split(":", 1)[0],
+                    int(df_map.get(k, 0)),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "term STRING, groups ARRAY<INT>, weight DOUBLE, leaf INT, field STRING, df_key LONG",
+        )
+
+    def _dl_col(self) -> tuple[DataFrame, Column]:
+        """Slim docs projection with per-field dl + a field-dispatched
+        dl column (used after joining on the key's field)."""
+        text_names = self.schema.text_field_names
+        dl_cols = [f"dl_{f}" for f in text_names]
+        docs_slim = self.docs.select("doc_id", *dl_cols)
+        expr = F.lit(0)
+        for fname in text_names:
+            expr = F.when(F.col("field") == fname, F.col(f"dl_{fname}")).otherwise(
+                expr
+            )
+        return docs_slim, expr
+
+    def _score_candidates(
+        self, cand: DataFrame, key_df: DataFrame, needs_score: bool, plan
+    ) -> DataFrame:
+        joined = cand.join(F.broadcast(key_df), "term")
+        if needs_score:
+            docs_slim, dl_expr = self._dl_col()
+            joined = joined.join(docs_slim, "doc_id")
+            n_docs = self.stats["n_docs"]
+            avgdl_map = self.stats["avgdl"]
+            # field-dispatched avgdl literal
+            avgdl_expr = F.lit(0.0)
+            for fname, av in avgdl_map.items():
+                avgdl_expr = F.when(F.col("field") == fname, F.lit(av)).otherwise(
+                    avgdl_expr
+                )
+            idf = (
+                F.greatest(
+                    F.log(
+                        (F.lit(float(n_docs)) - F.col("df_key") + 0.5)
+                        / (F.col("df_key") + 0.5)
+                    ),
+                    F.lit(0.0),
+                )
+                + 1.0
+            )
+            dl_eff = F.when(dl_expr > 0, dl_expr.cast("double")).otherwise(
+                F.greatest(avgdl_expr, F.lit(1.0))
+            )
+            norm = F.when(avgdl_expr > 0, dl_eff / avgdl_expr).otherwise(F.lit(1.0))
+            tf = F.col("tf").cast("double")
+            denom = F.greatest(
+                tf + F.lit(self.k1) * (1.0 - self.b + self.b * norm), F.lit(1e-6)
+            )
+            bm25 = idf * (tf * (self.k1 + 1.0)) / denom
+            contrib = F.when(
+                F.col("weight").isNotNull(), bm25 * F.col("weight")
+            ).otherwise(F.lit(0.0))
+            joined = joined.withColumn("_contrib", contrib)
+        else:
+            joined = joined.withColumn("_contrib", F.lit(0.0))
+
+        pure = P.is_pure_sum(plan.score_expr)
+        if pure:
+            return joined.groupBy("doc_id").agg(
+                F.array_distinct(F.flatten(F.collect_list("groups"))).alias(
+                    "_groups"
+                ),
+                F.sum("_contrib").alias("score"),
+                F.lit(None).cast("map<int,double>").alias("_leaf_scores"),
+            )
+        per_leaf = joined.groupBy(
+            "doc_id", F.coalesce(F.col("leaf"), F.lit(-1)).alias("_leaf")
+        ).agg(
+            F.sum("_contrib").alias("_s"),
+            F.collect_list("groups").alias("_ga"),
+        )
+        return per_leaf.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_leaf"), F.col("_s")))
+            ).alias("_leaf_scores"),
+            F.array_distinct(F.flatten(F.flatten(F.collect_list("_ga")))).alias(
+                "_groups"
+            ),
+            F.sum("_s").alias("score"),
+        )
+
+    # -- phrases ---------------------------------------------------------
+
+    def _phrase_matches(self, phrase_specs) -> DataFrame:
+        """(doc_id, _phrases ARRAY<INT>) for docs matching >=1 phrase.
+
+        Joins each phrase's term postings per doc and runs the
+        reference's backtracking position intersection
+        (query/phrase.rs:4-48) inside an Arrow-batched kernel.
+        """
+        all_keys: set[str] = set()
+        specs_payload = []
+        for spec in phrase_specs:
+            fields_payload = {}
+            for fld, buckets in spec.field_tokens.items():
+                key_buckets = [[f"{fld}:{t}" for t in alts] for alts in buckets]
+                fields_payload[fld] = key_buckets
+                for kb in key_buckets:
+                    all_keys.update(kb)
+            specs_payload.append(
+                {"phrase_id": spec.phrase_id, "fields": fields_payload, "slop": spec.slop}
+            )
+        if not all_keys:
+            return None
+        pcand = (
+            self.postings.where(F.col("term").isin(sorted(all_keys)))
+            .select("doc_id", "term", "positions")
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("tp")
+            )
+        )
+        payload = json.dumps(specs_payload)
+
+        def eval_batch(batches):
+            import pandas as pd
+
+            specs = json.loads(payload)
+
+            def match_positions(pos_lists, slop):
+                # backtracking over sorted position lists (phrase.rs:4-48)
+                if any(not p for p in pos_lists):
+                    return False
+                if len(pos_lists) == 1:
+                    return True
+
+                def search(idx, prev, remaining):
+                    if idx >= len(pos_lists):
+                        return True
+                    for pos in pos_lists[idx]:
+                        if pos <= prev:
+                            continue
+                        gap = pos - (prev + 1)
+                        if gap > remaining:
+                            break
+                        if search(idx + 1, pos, remaining - gap):
+                            return True
+                    return False
+
+                return any(search(1, start, slop) for start in pos_lists[0])
+
+            for pdf in batches:
+                out_doc, out_pid = [], []
+                for did, tp in zip(pdf["doc_id"], pdf["tp"]):
+                    for spec in specs:
+                        ok = False
+                        for _fld, buckets in spec["fields"].items():
+                            pos_lists = []
+                            failed = False
+                            for alts in buckets:
+                                merged = []
+                                for key in alts:
+                                    pl = tp.get(key)
+                                    if pl is not None:
+                                        merged.extend(pl)
+                                if not merged:
+                                    failed = True
+                                    break
+                                pos_lists.append(sorted(set(merged)))
+                            if not failed and match_positions(
+                                pos_lists, spec["slop"]
+                            ):
+                                ok = True
+                                break
+                        if ok:
+                            out_doc.append(did)
+                            out_pid.append(spec["phrase_id"])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_doc, dtype="int64"),
+                        "phrase_id": pd.Series(out_pid, dtype="int32"),
+                    }
+                )
+
+        matches = pcand.mapInPandas(eval_batch, "doc_id LONG, phrase_id INT")
+        return matches.groupBy("doc_id").agg(
+            F.collect_set("phrase_id").alias("_phrases")
+        )
+
+    # -- sorting ----------------------------------------------------------
+
+    def _sort_cols(self, sort) -> list[Column]:
+        if not sort:
+            return [F.col("score").desc(), F.col("doc_id").asc()]
+        cols: list[Column] = []
+        for s in sort:
+            if isinstance(s, str):
+                fld, order = s, "asc"
+            else:
+                fld, order = s["field"], s.get("order", "asc")
+            if fld == "_score":
+                c = F.col("score")
+            else:
+                c = F.col(fld)
+            cols.append(
+                c.desc_nulls_last() if order == "desc" else c.asc_nulls_last()
+            )
+        cols.append(F.col("doc_id").asc())
+        return cols
+
+    def _apply_sort(self, scored: DataFrame, sort) -> DataFrame:
+        if not sort:
+            return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        fields = [
+            (s if isinstance(s, str) else s["field"])
+            for s in sort
+            if (s if isinstance(s, str) else s["field"]) != "_score"
+        ]
+        if fields:
+            scored = scored.join(
+                self.docs.select("doc_id", *dict.fromkeys(fields)), "doc_id", "left"
+            )
+        return scored.orderBy(*self._sort_cols(sort)).select("doc_id", "score")
+
+    # -- helpers -----------------------------------------------------------
+
+    def _filter_columns(self, plan) -> set[str]:
+        cols: set[str] = set()
+
+        def from_filter(node):
+            (kind, body), = node.items()
+            if kind in ("KeywordEq", "KeywordIn", "I64Range", "F64Range"):
+                cols.add(body["field"])
+            elif kind in ("And", "Or"):
+                for f in body:
+                    from_filter(f)
+            elif kind == "Not":
+                from_filter(body)
+            elif kind == "Nested":
+                cols.add(body["path"])
+
+        def walk(m):
+            if isinstance(m, P.BoolMatcher):
+                for f in m.filter:
+                    from_filter(f)
+                for c in m.must + m.should + m.must_not:
+                    walk(c)
+            elif isinstance(m, P.DisMaxMatcher):
+                for c in m.children:
+                    walk(c)
+
+        walk(plan.matcher)
+        for f in plan.root_filter:
+            from_filter(f)
+        return cols
