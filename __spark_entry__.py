@@ -1,38 +1,572 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k on sf0.001.
+``queries()``    — operators from SURVEY.md §2 + training-data pipeline
+                   ops, each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (column names match;
+                   scores rounded to 4 decimals in both engines).
+
+The search queries exercise the searchlite_spark engine end-to-end
+(index build -> plan -> expand -> score -> match -> rank); the oracle
+recomputes the same BM25 (bm25.rs:1-6 formula, k1=0.9 b=0.4, global
+stats with float32 avgdl) from first principles in SQL.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SEARCHERS: dict[str, object] = {}
+
+K1, B = 0.9, 0.4
+
+
+def _index_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/searchlite_entry/{tag}"
+
+
+def _searcher(spark: SparkSession, sf_dir: str):
+    from searchlite_spark.index import (
+        IndexSchema,
+        KeywordField,
+        NumericField,
+        TextField,
+        build_index,
+    )
+    from searchlite_spark.index.catalog import Index
+    from searchlite_spark.query import Searcher
+
+    key = sf_dir
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    out = _index_dir(sf_dir)
+    schema = IndexSchema(
+        doc_id_field="doc_id",
+        text_fields=(TextField("text"),),
+        keyword_fields=(KeywordField("lang"), KeywordField("source")),
+        numeric_fields=(NumericField("n_chars"),),
+    )
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(spark, corpus, schema, out, id_mode="column")
+    s = Searcher(Index(out, spark))
+    _SEARCHERS[key] = s
+    return s
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _topk(searcher, request: dict, k: int = 10) -> DataFrame:
+    m = searcher.match_set(request)
+    return (
+        m.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders
+
+
+def _bm25_cte(terms: list[str], doc_filter: str = "TRUE") -> str:
+    """Shared CTEs computing tf/df/dl/global stats exactly like the
+    engine (tokens = split on single spaces; avgdl in float32)."""
+    qvals = ",".join(f"('{t}')" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY d.doc_id, t.tok
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         CAST(CAST((SELECT sum(dl) FROM dl) AS FLOAT)
+              / CAST((SELECT count(*) FROM documents) AS FLOAT) AS DOUBLE) AS avgdl
+),
+q(tok) AS (VALUES {qvals}),
+dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tok WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+scored AS (
+  SELECT tok.doc_id,
+         SUM( (greatest(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5)), 0.0) + 1.0)
+              * (tok.tf * (0.9 + 1.0))
+              / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+         ) AS score,
+         count(*) AS matched_terms
+  FROM tok
+  JOIN q ON tok.tok = q.tok
+  JOIN dfq ON tok.tok = dfq.tok
+  JOIN dl ON tok.doc_id = dl.doc_id
+  CROSS JOIN st
+  JOIN documents d ON d.doc_id = tok.doc_id
+  WHERE {doc_filter}
+  GROUP BY tok.doc_id
+)
+"""
+
+
+def _shingle_cte() -> str:
+    return """
+WITH sh AS (
+  SELECT doc_id, source,
+    list_distinct([
+      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      for i in generate_series(1, greatest(len(toks) - 2, 0))
+    ]) AS sh
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    return _topk(s, {"query": "spark query window"}, 10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- BM25 ranking (SURVEY §2.3 / §2.5) ----
+    def bm25_topk(spark, sf_dir):
+        return _topk(_searcher(spark, sf_dir), {"query": "spark query window"})
+
+    def bm25_single_term(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {"query": {"type": "term", "field": "text", "value": "vector"}},
+        )
+
+    def bm25_bool_must(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": {
+                    "type": "bool",
+                    "must": [
+                        {"type": "term", "field": "text", "value": "window"},
+                        {"type": "term", "field": "text", "value": "scan"},
+                    ],
+                }
+            },
+        )
+
+    def bm25_negation(spark, sf_dir):
+        return _topk(_searcher(spark, sf_dir), {"query": "spark -query"})
+
+    def bm25_filter_lang(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": "merge sort",
+                "filter": [{"KeywordEq": {"field": "lang", "value": "EN"}}],
+            },
+        )
+
+    def bm25_range_filter(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": "hash join",
+                "filter": [{"I64Range": {"field": "n_chars", "min": 100, "max": 300}}],
+            },
+        )
+
+    def prefix_expand(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {"query": {"type": "prefix", "field": "text", "value": "s"}},
+        )
+
+    def phrase_match(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": '"fast key"'})
+        return m.select("doc_id").orderBy("doc_id")
+
+    def match_sorted(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "vector"})
+        docs = s.docs.select("doc_id", "n_chars")
+        return (
+            m.join(docs, "doc_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", "n_chars")
+        )
+
+    Q.update(
+        bm25_topk=bm25_topk,
+        bm25_single_term=bm25_single_term,
+        bm25_bool_must=bm25_bool_must,
+        bm25_negation=bm25_negation,
+        bm25_filter_lang=bm25_filter_lang,
+        bm25_range_filter=bm25_range_filter,
+        prefix_expand=prefix_expand,
+        phrase_match=phrase_match,
+        match_sorted=match_sorted,
+    )
+
+    # ---- aggregations (SURVEY §2.6) ----
+    def agg_terms_lang(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, terms_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "spark"})
+        return terms_agg(_matched_docs(m, s.docs, ["lang"]), "lang", size=10)
+
+    def agg_stats_nchars(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, stats_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "query window"})
+        out = stats_agg(_matched_docs(m, s.docs, ["n_chars"]), "n_chars")
+        return out.select(
+            "count", "min", "max", "sum", F.round("avg", 4).alias("avg")
+        )
+
+    def agg_histogram_nchars(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, histogram_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "merge"})
+        return histogram_agg(
+            _matched_docs(m, s.docs, ["n_chars"]), "n_chars", 100.0
+        )
+
+    def agg_range_nchars(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, range_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "sort"})
+        return range_agg(
+            _matched_docs(m, s.docs, ["n_chars"]),
+            "n_chars",
+            [
+                {"key": "small", "to": 199},
+                {"key": "mid", "from": 200, "to": 399},
+                {"key": "large", "from": 400},
+            ],
+        )
+
+    def agg_cardinality_source(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, cardinality_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "batch"})
+        return cardinality_agg(_matched_docs(m, s.docs, ["source"]), "source")
+
+    def agg_value_count(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, value_count_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "row"})
+        return value_count_agg(_matched_docs(m, s.docs, ["lang"]), "lang")
+
+    def agg_percentiles_nchars(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, percentiles_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "filter"})
+        out = percentiles_agg(
+            _matched_docs(m, s.docs, ["n_chars"]), "n_chars", [25.0, 50.0, 75.0, 95.0]
+        )
+        return out.select("percent", F.round("value", 4).alias("value"))
+
+    Q.update(
+        agg_terms_lang=agg_terms_lang,
+        agg_stats_nchars=agg_stats_nchars,
+        agg_histogram_nchars=agg_histogram_nchars,
+        agg_range_nchars=agg_range_nchars,
+        agg_cardinality_source=agg_cardinality_source,
+        agg_value_count=agg_value_count,
+        agg_percentiles_nchars=agg_percentiles_nchars,
+    )
+
+    # ---- training-data pipeline ops ----
+    def dedup_exact_survivors(spark, sf_dir):
+        from searchlite_spark.textops import exact_dedup
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        doubled = docs.unionByName(
+            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        return exact_dedup(doubled).select("doc_id").orderBy("doc_id")
+
+    def ngram_jaccard(spark, sf_dir):
+        from searchlite_spark.textops import ngram_jaccard_pairs
+
+        docs = _docs(spark, sf_dir)
+        return ngram_jaccard_pairs(docs, "source", threshold=0.05).orderBy(
+            "id_a", "id_b"
+        )
+
+    def token_stats_q(spark, sf_dir):
+        from searchlite_spark.textops import token_stats
+
+        return token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def quality_q(spark, sf_dir):
+        from searchlite_spark.textops import quality_score
+
+        return quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def langid_q(spark, sf_dir):
+        from searchlite_spark.textops import langid
+
+        return langid(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def fingerprint_q(spark, sf_dir):
+        from searchlite_spark.textops import doc_fingerprint
+
+        return doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def ann_cosine_topk(spark, sf_dir):
+        from searchlite_spark.textops import cosine_topk
+
+        emb = _emb(spark, sf_dir)
+        qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        out = cosine_topk(emb, list(qvec), k=10)
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+    def minhash_near_dups(spark, sf_dir):
+        """LSH-bucketed near-dup candidates, exact-Jaccard verified.
+        Non-SQL-expressible (hash-dependent recall) -> rows-only check."""
+        from searchlite_spark.textops import minhash_lsh_pairs
+
+        docs = _docs(spark, sf_dir)
+        doubled = docs.select("doc_id", "text").unionByName(
+            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        return minhash_lsh_pairs(doubled, threshold=0.9).orderBy("id_a", "id_b")
+
+    def simhash_q(spark, sf_dir):
+        from searchlite_spark.textops import simhash
+
+        return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def lsh_ann_q(spark, sf_dir):
+        from searchlite_spark.textops import lsh_ann_topk
+
+        emb = _emb(spark, sf_dir)
+        qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        out = lsh_ann_topk(emb, list(qvec), k=5, multiprobe=4)
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+    Q.update(
+        dedup_exact_survivors=dedup_exact_survivors,
+        ngram_jaccard=ngram_jaccard,
+        token_stats=token_stats_q,
+        quality_score=quality_q,
+        langid=langid_q,
+        doc_fingerprint=fingerprint_q,
+        ann_cosine_topk=ann_cosine_topk,
+        minhash_near_dups=minhash_near_dups,
+        simhash=simhash_q,
+        lsh_ann_topk=lsh_ann_q,
+    )
+    return Q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    O: dict[str, str] = {}
+
+    O["bm25_topk"] = (
+        _bm25_cte(["spark", "query", "window"])
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+    O["bm25_single_term"] = (
+        _bm25_cte(["vector"])
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+    O["bm25_bool_must"] = (
+        _bm25_cte(["window", "scan"])
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " WHERE matched_terms = 2 ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+    O["bm25_negation"] = (
+        _bm25_cte(["spark"])
+        + """SELECT s.doc_id, round(s.score, 4) AS score_r FROM scored s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM tok WHERE tok = 'query')
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10"""
+    )
+    O["bm25_filter_lang"] = (
+        _bm25_cte(["merge", "sort"], doc_filter="lower(d.lang) = 'en'")
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+    O["bm25_range_filter"] = (
+        _bm25_cte(["hash", "join"], doc_filter="d.n_chars BETWEEN 100 AND 300")
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+    # prefix: every distinct token starting with 's' is an expansion
+    O["prefix_expand"] = """
+WITH tok AS (
+  SELECT d.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' GROUP BY d.doc_id, t.tok
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         CAST(CAST((SELECT sum(dl) FROM dl) AS FLOAT)
+              / CAST((SELECT count(*) FROM documents) AS FLOAT) AS DOUBLE) AS avgdl
+),
+q AS (SELECT DISTINCT tok FROM tok WHERE tok LIKE 's%'),
+dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tok WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+scored AS (
+  SELECT tok.doc_id,
+         SUM( (greatest(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5)), 0.0) + 1.0)
+              * (tok.tf * (0.9 + 1.0))
+              / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+         ) AS score
+  FROM tok JOIN q ON tok.tok = q.tok JOIN dfq ON tok.tok = dfq.tok
+  JOIN dl ON tok.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    O["phrase_match"] = (
+        "SELECT doc_id FROM documents WHERE (' ' || text || ' ') LIKE '% fast key %'"
+        " ORDER BY doc_id"
+    )
+    O["match_sorted"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE (' ' || text || ' ') LIKE '% vector %'
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10"""
+
+    # ---- aggregations ----
+    O["agg_terms_lang"] = """
+SELECT lang AS key, count(*)::BIGINT AS doc_count FROM documents
+WHERE (' ' || text || ' ') LIKE '% spark %'
+GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10"""
+    O["agg_stats_nchars"] = """
+SELECT count(n_chars)::BIGINT AS count,
+       CAST(min(n_chars) AS DOUBLE) AS min,
+       CAST(max(n_chars) AS DOUBLE) AS max,
+       CAST(sum(n_chars) AS DOUBLE) AS sum,
+       round(avg(n_chars), 4) AS avg
+FROM documents
+WHERE (' ' || text || ' ') LIKE '% query %' OR (' ' || text || ' ') LIKE '% window %'"""
+    O["agg_histogram_nchars"] = """
+SELECT CAST(floor(n_chars / 100.0) * 100.0 AS DOUBLE) AS key,
+       count(*)::BIGINT AS doc_count
+FROM documents WHERE (' ' || text || ' ') LIKE '% merge %'
+GROUP BY 1 ORDER BY key"""
+    O["agg_range_nchars"] = """
+WITH m AS (SELECT n_chars FROM documents WHERE (' ' || text || ' ') LIKE '% sort %')
+SELECT 'small' AS key, (SELECT count(*) FROM m WHERE n_chars <= 199)::BIGINT AS doc_count
+UNION ALL
+SELECT 'mid', (SELECT count(*) FROM m WHERE n_chars BETWEEN 200 AND 399)::BIGINT
+UNION ALL
+SELECT 'large', (SELECT count(*) FROM m WHERE n_chars >= 400)::BIGINT"""
+    O["agg_cardinality_source"] = """
+SELECT count(DISTINCT source)::BIGINT AS cardinality FROM documents
+WHERE (' ' || text || ' ') LIKE '% batch %'"""
+    O["agg_value_count"] = """
+SELECT count(lang)::BIGINT AS value_count FROM documents
+WHERE (' ' || text || ' ') LIKE '% row %'"""
+    O["agg_percentiles_nchars"] = """
+WITH m AS (SELECT n_chars FROM documents WHERE (' ' || text || ' ') LIKE '% filter %')
+SELECT CAST(25.0 AS DOUBLE) AS percent, round(quantile_cont(n_chars, 0.25), 4) AS value FROM m
+UNION ALL SELECT CAST(50.0 AS DOUBLE), round(quantile_cont(n_chars, 0.50), 4) FROM m
+UNION ALL SELECT CAST(75.0 AS DOUBLE), round(quantile_cont(n_chars, 0.75), 4) FROM m
+UNION ALL SELECT CAST(95.0 AS DOUBLE), round(quantile_cont(n_chars, 0.95), 4) FROM m"""
+
+    # ---- pipeline ops ----
+    O["dedup_exact_survivors"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+)
+SELECT min(doc_id)::BIGINT AS doc_id FROM all_docs GROUP BY text ORDER BY doc_id"""
+    O["ngram_jaccard"] = (
+        _shingle_cte()
+        + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+ORDER BY id_a, id_b"""
+    )
+    O["token_stats"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::INT AS n_tokens,
+       len(list_distinct(toks))::INT AS n_distinct,
+       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 4)
+         AS mean_token_len,
+       list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS INT)))::INT
+         AS n_subtokens
+FROM t ORDER BY doc_id"""
+    sw = ", ".join(f"'{w}'" for w in ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"])
+    O["quality_score"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  floor((
+    0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+    + 0.3 * least(len(toks)::DOUBLE / 100.0, 1.0)
+    + 0.3 * (1.0 - least((len(list_filter(toks, x -> x IN ({sw})))::DOUBLE / len(toks)) * 2.0, 1.0))
+  ) * 10000.0) / 10000.0 AS quality
+FROM t ORDER BY doc_id"""
+    prof_sql = []
+    from searchlite_spark.textops.quality import LANG_PROFILES
+
+    for lang, words in LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        prof_sql.append(
+            f"len(list_filter(toks, x -> x IN ({lst}))) AS {lang}_hits"
+        )
+    O["langid"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+h AS (SELECT doc_id, {', '.join(prof_sql)} FROM t)
+SELECT doc_id,
+  CASE
+    WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+    WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+    WHEN fr_hits >= es_hits THEN 'fr'
+    ELSE 'es'
+  END AS pred_lang
+FROM h ORDER BY doc_id"""
+    O["doc_fingerprint"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT, list_transform(toks,
+        x -> (length(x) * 31 + ascii(substring(x, 1, 1)))::BIGINT)),
+    (acc, v) -> (acc * 131 + v) % 2147483647
+  ) AS fingerprint
+FROM t ORDER BY doc_id"""
+    O["ann_cosine_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(cosine, 4) AS cosine_r FROM c
+ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+    # minhash_near_dups / simhash / lsh_ann_topk: hash-function-dependent
+    # (xxhash64) -> intentionally no SQL oracle; driver rows-only check.
+    return O

@@ -1,0 +1,129 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total suite secs>, "unit": "sec",
+   "queries": {name: secs, ...}, "sf": ...,
+   "build": {...}, "scaling": {...}?}
+
+Scaling evidence (north rule: throughput efficiency >= 0.8 from N to
+4N): run `python bench.py --scaling` — it re-runs the index build in
+two subprocesses at local[N] and local[4N] on the same input and
+reports throughput at both plus efficiency.  (Also written to
+BENCH.md by scripts/scaling_bench.py.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    ("bm25_topk", {"query": "spark query window", "limit": 10}),
+    ("bm25_bool_must", {"query": {"type": "bool", "must": [
+        {"type": "term", "field": "text", "value": "window"},
+        {"type": "term", "field": "text", "value": "scan"}]}, "limit": 10}),
+    ("bm25_filter", {"query": "merge sort",
+                     "filter": [{"KeywordEq": {"field": "lang", "value": "en"}}],
+                     "limit": 10}),
+    ("phrase", {"query": '"fast key"', "limit": 10}),
+    ("negation", {"query": "spark -query", "limit": 10}),
+    ("prefix", {"query": {"type": "prefix", "field": "text", "value": "s"}, "limit": 10}),
+]
+
+AGGS = [
+    ("agg_terms_lang", {"query": "spark"}, {"langs": {"terms": {"field": "lang", "size": 10}}}),
+    ("agg_histogram", {"query": "merge"}, {"h": {"histogram": {"field": "n_chars", "interval": 100}}}),
+]
+
+
+def build_and_searcher(spark, rebuild=False):
+    from searchlite_spark.index import (
+        IndexSchema, KeywordField, NumericField, TextField, build_index,
+    )
+    from searchlite_spark.index.catalog import Index
+    from searchlite_spark.query import Searcher
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    out = f"/tmp/searchlite_bench/{tag}"
+    schema = IndexSchema(
+        doc_id_field="doc_id",
+        text_fields=(TextField("text"),),
+        keyword_fields=(KeywordField("lang"), KeywordField("source")),
+        numeric_fields=(NumericField("n_chars"),),
+    )
+    build_secs = None
+    if rebuild or not os.path.exists(os.path.join(out, "manifest.json")):
+        corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        t0 = time.time()
+        idx = build_index(spark, corpus, schema, out, id_mode="column")
+        build_secs = time.time() - t0
+    idx = Index(out, spark)
+    return Searcher(idx), idx, build_secs
+
+
+def run_query_suite(searcher, iterations=3):
+    from searchlite_spark.query.aggs import run_aggregations
+
+    times: dict[str, float] = {}
+    for name, req in HEADLINE:
+        best = float("inf")
+        for _ in range(iterations):
+            t0 = time.time()
+            df = searcher.match_set(req)
+            from pyspark.sql import functions as F
+
+            df.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+                int(req.get("limit", 10))
+            ).collect()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 4)
+    for name, req, aggs in AGGS:
+        best = float("inf")
+        for _ in range(iterations):
+            t0 = time.time()
+            m = searcher.match_set(req)
+            run_aggregations(m, searcher.docs, aggs)
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 4)
+    return times
+
+
+def main():
+    if "--scaling" in sys.argv:
+        from scripts.scaling_bench import run_scaling
+
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    from searchlite_spark import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    searcher, idx, build_secs = build_and_searcher(spark, rebuild=True)
+    n_docs = idx.stats["n_docs"]
+    times = run_query_suite(searcher)
+    total = round(sum(times.values()), 4)
+    out = {
+        "metric": "searchlite_spark query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "build": {
+            "secs": round(build_secs, 2) if build_secs else None,
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / build_secs, 1) if build_secs else None,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,9 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("max_tf", T.IntegerType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
+        # per-entry doc length (field token count) — makes blocks
+        # self-contained for scoring (no docs-table join in the kernel)
+        T.StructField("dls", T.BinaryType(), False),
     ]
 )
 
@@ -59,13 +62,16 @@ def pack_partition(batches, block_size: int):
     run_term: str | None = None
     run_docs: list[np.ndarray] = []
     run_tfs: list[np.ndarray] = []
+    run_dls: list[np.ndarray] = []
 
-    def flush(term, docs_parts, tfs_parts, out):
+    def flush(term, docs_parts, tfs_parts, dls_parts, out):
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
+        dls = np.concatenate(dls_parts)
         for s in range(0, len(docs), block_size):
             d = docs[s : s + block_size]
             t = tfs[s : s + block_size]
+            l = dls[s : s + block_size]
             out.append(
                 (
                     term,
@@ -75,15 +81,17 @@ def pack_partition(batches, block_size: int):
                     int(t.max()),
                     encode_deltas(d.astype(np.uint64)),
                     encode_varints(t.astype(np.uint64)),
+                    encode_varints(l.astype(np.uint64)),
                 )
             )
 
-    cols = ["term", "block_id", "n", "max_doc_id", "max_tf", "doc_ids", "tfs"]
+    cols = ["term", "block_id", "n", "max_doc_id", "max_tf", "doc_ids", "tfs", "dls"]
     for pdf in batches:
         out: list[tuple] = []
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy()
         tfs = pdf["tf"].to_numpy()
+        dls = pdf["dl"].to_numpy()
         # boundaries of equal-term runs within this batch
         change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
         bounds = np.concatenate(([0], change, [len(terms)]))
@@ -91,19 +99,20 @@ def pack_partition(batches, block_size: int):
             lo, hi = bounds[bi], bounds[bi + 1]
             term = terms[lo]
             if run_term is not None and term != run_term:
-                flush(run_term, run_docs, run_tfs, out)
-                run_docs, run_tfs = [], []
+                flush(run_term, run_docs, run_tfs, run_dls, out)
+                run_docs, run_tfs, run_dls = [], [], []
             run_term = term
             run_docs.append(doc_ids[lo:hi])
             run_tfs.append(tfs[lo:hi])
+            run_dls.append(dls[lo:hi])
             if hi < len(terms):  # run is closed within this batch
-                flush(run_term, run_docs, run_tfs, out)
-                run_term, run_docs, run_tfs = None, [], []
+                flush(run_term, run_docs, run_tfs, run_dls, out)
+                run_term, run_docs, run_tfs, run_dls = None, [], [], []
         if out:
             yield pd.DataFrame(dict(zip(cols, map(list, zip(*out)))))
     if run_term is not None:
         out = []
-        flush(run_term, run_docs, run_tfs, out)
+        flush(run_term, run_docs, run_tfs, run_dls, out)
         yield pd.DataFrame(dict(zip(cols, map(list, zip(*out)))))
 
 
@@ -116,7 +125,7 @@ def build_block_postings(
 ) -> DataFrame:
     """postings must be range-sorted by (term, doc_id) — as written by
     ``build_index`` — so packing needs no shuffle."""
-    src = postings.select("term", "doc_id", "tf")
+    src = postings.select("term", "doc_id", "tf", "dl")
     packed = src.mapInPandas(
         lambda it: pack_partition(it, block_size), BLOCK_SCHEMA
     )

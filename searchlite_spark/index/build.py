@@ -42,6 +42,12 @@ POSTING_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("tf", T.IntegerType(), False),
         T.StructField("positions", T.ArrayType(T.IntegerType()), True),
+        # per-(doc, field) token count, denormalized into every posting
+        # row so BM25 scoring and the WAND kernel never join the docs
+        # table (the reference reads `_len:<field>` fast fields per doc;
+        # denormalization is the columnar equivalent — it dictionary/RLE
+        # compresses to almost nothing in Parquet)
+        T.StructField("dl", T.IntegerType(), False),
     ]
 )
 
@@ -104,6 +110,7 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
 
         for pdf in batches:
             out_doc, out_field, out_term, out_tf, out_pos = [], [], [], [], []
+            out_dl: list[int] = []
             doc_ids = pdf["doc_id"].to_numpy()
             for fname, analyzer in text_fields:
                 col = pdf[fname]
@@ -122,6 +129,7 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                     for tok, pos in toks:
                         agg.setdefault(tok, []).append(pos)
                     did = doc_ids[i]
+                    dl = len(toks)
                     prefix = fname + ":"
                     for tok, poss in agg.items():
                         out_doc.append(did)
@@ -129,6 +137,7 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                         out_term.append(prefix + tok)
                         out_tf.append(len(poss))
                         out_pos.append(poss)
+                        out_dl.append(dl)
             for fname in kw_fields:
                 col = pdf[fname]
                 for i, raw in enumerate(col):
@@ -150,6 +159,7 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                         out_term.append(prefix + norm)
                         out_tf.append(1)
                         out_pos.append([0])
+                        out_dl.append(0)  # keywords: avgdl=0 => norm=1
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
@@ -157,6 +167,7 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                     "term": pd.Series(out_term, dtype="object"),
                     "tf": pd.Series(out_tf, dtype="int32"),
                     "positions": pd.Series(out_pos, dtype="object"),
+                    "dl": pd.Series(out_dl, dtype="int32"),
                 }
             )
 
@@ -173,12 +184,22 @@ def build_index(
     build_blocks: bool = True,
     checkpoint: bool = False,
     input_snapshot: str | None = None,
+    id_mode: str = "assign",
 ) -> Index:
+    """id_mode="assign": dense doc ids in doc-key string order (the
+    reference's BTreeMap commit order, writer.rs:126-189).
+    id_mode="column": the key column already IS a unique BIGINT doc id —
+    use it directly (saves the global ordering pass)."""
     t0 = time.time()
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
+    if id_mode == "column":
+        docs = corpus
+        if schema.doc_id_field != "doc_id":
+            docs = docs.withColumn("doc_id", F.col(schema.doc_id_field).cast("long"))
+    else:
+        docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
     docs = docs.persist()
     n_docs = docs.count()
 

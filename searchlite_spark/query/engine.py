@@ -26,117 +26,17 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from searchlite_spark.index.catalog import Index
 from searchlite_spark.query import plan as P
-from searchlite_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, bm25_col
+from searchlite_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
 from searchlite_spark.query.expand import DictionaryExpander, expand_groups
 from searchlite_spark.query.filters import compile_filters
+from searchlite_spark.query.matching import (
+    matcher_col,
+    matcher_score_fields,
+    may_match_empty,
+)
 from searchlite_spark.query.planner import build_query_plan, expand_phrases
 
 DEFAULT_LIMIT = 10
-
-
-# --------------------------------------------------------------------------
-# matcher -> Column over (groups, phrases, docs columns)
-
-
-def _has_group(gid: int) -> Column:
-    return F.array_contains(F.col("_groups"), gid)
-
-
-def _has_phrase(pid: int) -> Column:
-    return F.array_contains(F.col("_phrases"), pid)
-
-
-def matcher_col(node, docs_df: DataFrame) -> Column:
-    """Evaluate the matcher tree per-doc (reader.rs:1481-1598)."""
-    if isinstance(node, P.MatchAll):
-        return F.lit(True)
-    if isinstance(node, P.NothingMatcher):
-        return F.lit(False)
-    if isinstance(node, P.TermGroupRef):
-        return _has_group(node.group_id)
-    if isinstance(node, P.PhraseRef):
-        return _has_phrase(node.phrase_id)
-    if isinstance(node, P.QueryStringMatcher):
-        if not node.term_groups and not node.phrase_groups and not node.not_term_groups:
-            return F.lit(False)
-        cond = F.lit(True)
-        for gid in node.not_term_groups:
-            cond = cond & ~_has_group(gid)
-        for pid in node.phrase_groups:
-            cond = cond & _has_phrase(pid)
-        if not node.term_groups:
-            if node.phrase_groups or node.not_term_groups:
-                return cond
-            return F.lit(False)
-        matched = sum(
-            (_has_group(g).cast("int") for g in node.term_groups),
-            F.lit(0),
-        )
-        required = node.minimum_should_match if node.minimum_should_match is not None else 1
-        return cond & (matched >= F.lit(required))
-    if isinstance(node, P.DisMaxMatcher):
-        if not node.children:
-            return F.lit(False)
-        cond = F.lit(False)
-        for c in node.children:
-            cond = cond | matcher_col(c, docs_df)
-        return cond
-    if isinstance(node, P.BoolMatcher):
-        cond = F.lit(True)
-        for c in node.must:
-            cond = cond & matcher_col(c, docs_df)
-        for c in node.must_not:
-            cond = cond & ~matcher_col(c, docs_df)
-        if node.filter:
-            cond = cond & compile_filters(docs_df, node.filter)
-        if node.should:
-            msm = node.minimum_should_match
-            if msm is None:
-                msm = 1 if (not node.must and not node.filter) else 0
-            if msm > 0:
-                should_matched = sum(
-                    (matcher_col(c, docs_df).cast("int") for c in node.should),
-                    F.lit(0),
-                )
-                cond = cond & (should_matched >= F.lit(msm))
-        return cond
-    raise ValueError(f"unknown matcher {type(node)}")
-
-
-def may_match_empty(node) -> bool:
-    """Whether a doc with no query-term/phrase hits can still match —
-    decides candidate-only vs full-scan execution."""
-    if isinstance(node, P.MatchAll):
-        return True
-    if isinstance(node, (P.TermGroupRef, P.PhraseRef, P.NothingMatcher)):
-        return False
-    if isinstance(node, P.QueryStringMatcher):
-        if not node.term_groups and not node.phrase_groups and not node.not_term_groups:
-            return False
-        if node.phrase_groups:
-            return False
-        if not node.term_groups:
-            return True  # pure negation
-        required = node.minimum_should_match if node.minimum_should_match is not None else 1
-        return required <= 0
-    if isinstance(node, P.DisMaxMatcher):
-        return any(may_match_empty(c) for c in node.children)
-    if isinstance(node, P.BoolMatcher):
-        for c in node.must:
-            if not may_match_empty(c):
-                return False
-        # must_not of a non-empty-matching child doesn't exclude an empty doc
-        msm = node.minimum_should_match
-        if msm is None:
-            msm = 1 if (not node.must and not node.filter and node.should) else 0
-        if msm > 0:
-            matched = sum(1 for c in node.should if may_match_empty(c))
-            if matched < msm:
-                return False
-        if not node.must and not node.should and not node.filter and not node.must_not:
-            return False
-        return True
-    return True
 
 
 # --------------------------------------------------------------------------
@@ -177,6 +77,7 @@ class Searcher:
         self.docs = index.docs().persist()
         self.postings = index.postings()
         self.terms = index.terms().persist()
+        self.blocks = index.blocks() if index.has_blocks() else None
         self.expander = DictionaryExpander(self.terms)
         self.k1 = K1_DEFAULT
         self.b = B_DEFAULT
@@ -233,6 +134,80 @@ class Searcher:
         """All matching (doc_id, score) — the aggregation input."""
         return self._matched_scored(request)
 
+    def topk(self, request: dict, k: int | None = None) -> DataFrame:
+        """Top-k (doc_id, score) with execution routing: "wand"/"bmw"
+        (default) use the block-max pruned kernel when the query shape
+        allows (pure disjunctive BM25 — the reference's default path);
+        "bm25" forces the brute-force scorer (wand.rs:398-456
+        strategy selection)."""
+        if k is None:
+            k = int(request.get("limit", DEFAULT_LIMIT))
+        execution = (request.get("execution") or "bmw").lower()
+        if execution in ("wand", "bmw") and self.index.has_blocks():
+            routed = self._try_wand(request, k, execution)
+            if routed is not None:
+                return routed
+        m = self.match_set(request)
+        return (
+            m.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def _try_wand(self, request: dict, k: int, mode: str) -> DataFrame | None:
+        from searchlite_spark.query.wand import wand_topk
+
+        plan, builder = build_query_plan(request, self.schema)
+        m = plan.matcher
+        if not isinstance(m, P.QueryStringMatcher):
+            return None
+        if m.phrase_groups or m.not_term_groups or not m.term_groups:
+            return None
+        if (m.minimum_should_match or 1) > 1:
+            return None
+        if plan.root_filter or not P.is_pure_sum(plan.score_expr):
+            return None
+        if P.needs_score_hook(plan.score_node):
+            return None
+        groups, qualified = expand_groups(
+            builder, self.schema, self.expander, request.get("fuzzy")
+        )
+        if not qualified:
+            return self._empty_hits()
+        # summed weight per key (reader.rs:2971-2983)
+        weights: dict[str, float] = {}
+        fields: dict[str, str] = {}
+        for qt in qualified:
+            weights[qt.key] = weights.get(qt.key, 0.0) + qt.weight
+            fields[qt.key] = qt.field
+        trows = (
+            self.terms.where(F.col("term").isin(sorted(weights)))
+            .select("term", "df", "max_tf")
+            .collect()
+        )
+        key_meta = {
+            r["term"]: {
+                "weight": weights[r["term"]],
+                "df": int(r["df"]),
+                "max_tf": int(r["max_tf"]),
+                "field": fields[r["term"]],
+            }
+            for r in trows
+        }
+        if not key_meta:
+            return self._empty_hits()
+        return wand_topk(
+            self.spark,
+            self.blocks,
+            key_meta,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k,
+            mode=mode,
+            k1=self.k1,
+            b=self.b,
+        )
+
     # -- core -----------------------------------------------------------
 
     def _matched_scored(self, request: dict) -> DataFrame:
@@ -268,7 +243,7 @@ class Searcher:
         if all_keys:
             key_df = self._key_info_df(all_keys, key_groups, key_weight)
             cand = self.postings.where(F.col("term").isin(all_keys)).select(
-                "doc_id", "term", "tf"
+                "doc_id", "term", "tf", "dl"
             )
             scored = self._score_candidates(cand, key_df, needs_score, plan)
 
@@ -313,8 +288,8 @@ class Searcher:
             "_groups", F.coalesce(F.col("_groups"), F.array().cast("array<int>"))
         )
 
-        # ---- matcher + filters need doc columns? join pruned docs ----
-        needed_cols = self._filter_columns(plan)
+        # ---- matcher + filters + score hook need doc columns? ----
+        needed_cols = self._needed_doc_columns(plan)
         if needed_cols:
             docs_slim = self.docs.select("doc_id", *sorted(needed_cols))
             base = base.join(docs_slim, "doc_id", "left")
@@ -324,6 +299,19 @@ class Searcher:
             matched = matched.where(compile_filters(matched, plan.root_filter))
 
         # ---- final score ----
+        if P.needs_score_hook(plan.score_node):
+            # custom-score hook (reader.rs:3038-3100): evaluate the
+            # score-node tree per matched doc; NULL = drop hit
+            from searchlite_spark.query.scoring import score_node_col
+
+            score = score_node_col(
+                plan.score_node,
+                matched,
+                F.col("_leaf_scores"),
+                F.col("score") if P.is_pure_sum(plan.score_expr) else None,
+            )
+            out = matched.select("doc_id", score.alias("score"))
+            return out.where(F.col("score").isNotNull())
         if needs_score:
             if P.is_pure_sum(plan.score_expr):
                 score = F.coalesce(F.col("score"), F.lit(0.0))
@@ -365,26 +353,12 @@ class Searcher:
             "term STRING, groups ARRAY<INT>, weight DOUBLE, leaf INT, field STRING, df_key LONG",
         )
 
-    def _dl_col(self) -> tuple[DataFrame, Column]:
-        """Slim docs projection with per-field dl + a field-dispatched
-        dl column (used after joining on the key's field)."""
-        text_names = self.schema.text_field_names
-        dl_cols = [f"dl_{f}" for f in text_names]
-        docs_slim = self.docs.select("doc_id", *dl_cols)
-        expr = F.lit(0)
-        for fname in text_names:
-            expr = F.when(F.col("field") == fname, F.col(f"dl_{fname}")).otherwise(
-                expr
-            )
-        return docs_slim, expr
-
     def _score_candidates(
         self, cand: DataFrame, key_df: DataFrame, needs_score: bool, plan
     ) -> DataFrame:
         joined = cand.join(F.broadcast(key_df), "term")
         if needs_score:
-            docs_slim, dl_expr = self._dl_col()
-            joined = joined.join(docs_slim, "doc_id")
+            dl_expr = F.col("dl")
             n_docs = self.stats["n_docs"]
             avgdl_map = self.stats["avgdl"]
             # field-dispatched avgdl literal
@@ -581,32 +555,31 @@ class Searcher:
 
     # -- helpers -----------------------------------------------------------
 
-    def _filter_columns(self, plan) -> set[str]:
-        cols: set[str] = set()
+    def _needed_doc_columns(self, plan) -> set[str]:
+        cols = matcher_score_fields(plan.matcher)
+        cols |= matcher_score_fields(
+            P.BoolMatcher([], [], [], list(plan.root_filter), None)
+        )
+        if plan.score_node is not None:
+            cols |= P.score_node_fields(plan.score_node)
 
-        def from_filter(node):
-            (kind, body), = node.items()
-            if kind in ("KeywordEq", "KeywordIn", "I64Range", "F64Range"):
-                cols.add(body["field"])
-            elif kind in ("And", "Or"):
-                for f in body:
-                    from_filter(f)
-            elif kind == "Not":
-                from_filter(body)
-            elif kind == "Nested":
-                cols.add(body["path"])
+            def walk_sn(node):
+                if isinstance(node, (P.SNConstant, P.SNRankFeature)):
+                    cols.update(matcher_score_fields(node.matcher))
+                elif isinstance(node, (P.SNFunctionScore, P.SNScriptScore)):
+                    cols.update(matcher_score_fields(node.matcher))
+                    for f in getattr(node, "functions", []) or []:
+                        if f.get("filter"):
+                            cols.update(
+                                matcher_score_fields(
+                                    P.BoolMatcher([], [], [], [f["filter"]], None)
+                                )
+                            )
+                    walk_sn(node.base)
+                elif isinstance(node, (P.SNSum, P.SNDisMax)):
+                    for c in node.children:
+                        walk_sn(c)
 
-        def walk(m):
-            if isinstance(m, P.BoolMatcher):
-                for f in m.filter:
-                    from_filter(f)
-                for c in m.must + m.should + m.must_not:
-                    walk(c)
-            elif isinstance(m, P.DisMaxMatcher):
-                for c in m.children:
-                    walk(c)
-
-        walk(plan.matcher)
-        for f in plan.root_filter:
-            from_filter(f)
-        return cols
+            walk_sn(plan.score_node)
+        valid = set(self.docs.columns)
+        return {c for c in cols if c in valid}

@@ -113,6 +113,101 @@ class ScoreConst:
     value: float
 
 
+# ---- score NODE tree (the custom-score hook, reader.rs:418-613) ------------
+# Distinct from the leaf ScoreExpr tree: nodes may gate on sub-matchers
+# and read numeric doc columns (function_score / rank_feature /
+# script_score).  "None" (drop hit) maps to SQL NULL.
+
+
+@dataclass
+class SNEmpty:
+    pass
+
+
+@dataclass
+class SNExpr:
+    expr: object  # ScoreLeaf | ScoreSum | ScoreDisMax
+
+
+@dataclass
+class SNSum:
+    children: list
+
+
+@dataclass
+class SNDisMax:
+    children: list
+    tie_breaker: float = 0.0
+
+
+@dataclass
+class SNConstant:
+    score: float
+    matcher: object
+
+
+@dataclass
+class SNFunctionScore:
+    matcher: object
+    base: object
+    functions: list  # FunctionSpec dicts
+    score_mode: str  # sum|multiply|max|min|avg
+    boost_mode: str  # multiply|sum|replace|max|min
+    max_boost: float | None
+    min_score: float | None
+    boost: float
+
+
+@dataclass
+class SNRankFeature:
+    matcher: object
+    field: str
+    modifier: str  # none|log|log1p|sqrt|reciprocal
+    missing: float
+    boost: float
+
+
+@dataclass
+class SNScriptScore:
+    matcher: object
+    base: object
+    script: str
+    params: dict
+    boost: float
+
+
+def needs_score_hook(node) -> bool:
+    if isinstance(node, (SNConstant, SNFunctionScore, SNRankFeature, SNScriptScore)):
+        return True
+    if isinstance(node, (SNSum, SNDisMax)):
+        return any(needs_score_hook(c) for c in node.children)
+    return False
+
+
+def score_node_fields(node) -> set[str]:
+    """Numeric doc columns the score tree reads."""
+    out: set[str] = set()
+    if isinstance(node, SNFunctionScore):
+        for f in node.functions:
+            if f.get("type") in ("field_value_factor", "decay") and "field" in f:
+                out.add(f["field"])
+        out |= score_node_fields(node.base)
+    elif isinstance(node, SNRankFeature):
+        out.add(node.field)
+    elif isinstance(node, SNScriptScore):
+        from searchlite_spark.query.script import script_identifiers
+
+        out |= {
+            i for i in script_identifiers(node.script)
+            if i != "_score" and not i.startswith("params.")
+        }
+        out |= score_node_fields(node.base)
+    elif isinstance(node, (SNSum, SNDisMax)):
+        for c in node.children:
+            out |= score_node_fields(c)
+    return out
+
+
 def score_leaves(expr) -> set[int]:
     if expr is None:
         return set()
@@ -146,3 +241,4 @@ class QueryPlan:
     qualified_terms: list[QualifiedTerm]
     score_expr: object  # ScoreLeaf | ScoreSum | ScoreDisMax | None
     root_filter: list  # Filter AST dicts (request-level `filter`)
+    score_node: object = None  # SN* tree (custom-score hook)

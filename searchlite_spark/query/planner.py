@@ -26,6 +26,14 @@ from searchlite_spark.index.schema import IndexSchema
 from searchlite_spark.query.parser import parse_query
 from searchlite_spark.query.plan import (
     BoolMatcher,
+    SNConstant,
+    SNDisMax,
+    SNEmpty,
+    SNExpr,
+    SNFunctionScore,
+    SNRankFeature,
+    SNScriptScore,
+    SNSum,
     DisMaxMatcher,
     MatchAll,
     PhraseRef,
@@ -130,11 +138,13 @@ class PlanBuilder:
 
     # -- node builders --------------------------------------------------
 
-    def build(self, node: dict, score: bool, boost: float):
+    def build(self, node, score: bool, boost: float):
+        if isinstance(node, str):  # string shorthand = query_string
+            node = {"type": "query_string", "query": node}
         ntype = node.get("type")
         if ntype == "match_all":
             _validate_boost(node.get("boost"))
-            return MatchAll(), None
+            return MatchAll(), None, SNEmpty()
 
         if ntype == "query_string":
             node_boost = _validate_boost(node.get("boost"))
@@ -183,7 +193,8 @@ class PlanBuilder:
                 if len(leaves) == 1
                 else ScoreSum(tuple(leaves))
             )
-            return matcher, scorer
+            node_sn = SNExpr(scorer) if scorer is not None else SNEmpty()
+            return matcher, scorer, node_sn
 
         if ntype == "multi_match":
             node_boost = _validate_boost(node.get("boost"))
@@ -231,17 +242,20 @@ class PlanBuilder:
             matcher = QueryStringMatcher(
                 term_groups, phrase_groups, not_groups, required
             )
-            return matcher, scorer
+            node_sn = SNExpr(scorer) if scorer is not None else SNEmpty()
+            return matcher, scorer, node_sn
 
         if ntype == "dis_max":
             node_boost = _validate_boost(node.get("boost"))
             tie = _validate_tie(node.get("tie_breaker"))
-            matchers, scorers = [], []
+            matchers, scorers, score_nodes = [], [], []
             for child in node.get("queries", []):
-                m, s = self.build(child, score, boost * node_boost)
+                m, s, sn = self.build(child, score, boost * node_boost)
                 matchers.append(m)
                 if s is not None:
                     scorers.append(s)
+                if not isinstance(sn, SNEmpty):
+                    score_nodes.append(sn)
             scorer = (
                 None
                 if not scorers
@@ -249,7 +263,13 @@ class PlanBuilder:
                 if len(scorers) == 1
                 else ScoreDisMax(tuple(scorers), tie)
             )
-            return DisMaxMatcher(matchers), scorer
+            if not score_nodes:
+                node_sn = SNEmpty()
+            elif len(score_nodes) == 1:
+                node_sn = score_nodes[0]
+            else:
+                node_sn = SNDisMax(score_nodes, tie)
+            return DisMaxMatcher(matchers), scorer, node_sn
 
         if ntype in ("term", "prefix", "wildcard", "regex"):
             node_boost = _validate_boost(node.get("boost"))
@@ -268,7 +288,8 @@ class PlanBuilder:
                 leaf,
             )
             scorer = ScoreLeaf(leaf) if leaf is not None else None
-            return TermGroupRef(gid), scorer
+            node_sn = SNExpr(scorer) if scorer is not None else SNEmpty()
+            return TermGroupRef(gid), scorer, node_sn
 
         if ntype == "phrase":
             _validate_boost(node.get("boost"))
@@ -276,25 +297,33 @@ class PlanBuilder:
                 [node["field"]] if node.get("field") else list(self.default_fields)
             )
             idx = self.push_phrase(fields, node["terms"], int(node.get("slop") or 0))
-            return PhraseRef(idx), None
+            return PhraseRef(idx), None, SNEmpty()
 
         if ntype == "bool":
             node_boost = _validate_boost(node.get("boost"))
             child_boost = boost * node_boost
-            must, should, must_not, scorers = [], [], [], []
+            must, should, must_not, scorers, score_nodes = [], [], [], [], []
             for child in node.get("must", []):
-                m, s = self.build(child, score, child_boost)
+                m, s, sn = self.build(child, score, child_boost)
                 must.append(m)
                 if s is not None:
                     scorers.append(s)
+                if not isinstance(sn, SNEmpty):
+                    score_nodes.append(sn)
             for child in node.get("should", []):
-                m, s = self.build(child, score, child_boost)
+                m, s, sn = self.build(child, score, child_boost)
                 should.append(m)
                 if s is not None:
                     scorers.append(s)
+                if not isinstance(sn, SNEmpty):
+                    score_nodes.append(sn)
             for child in node.get("must_not", []):
-                m, _ = self.build(child, False, child_boost)
+                m, s, sn = self.build(child, False, child_boost)
                 must_not.append(m)
+                if s is not None:
+                    scorers.append(s)
+                if not isinstance(sn, SNEmpty):
+                    score_nodes.append(sn)
             scorer = (
                 None
                 if not scorers
@@ -302,6 +331,12 @@ class PlanBuilder:
                 if len(scorers) == 1
                 else ScoreSum(tuple(scorers))
             )
+            if not score_nodes:
+                node_sn = SNEmpty()
+            elif len(score_nodes) == 1:
+                node_sn = score_nodes[0]
+            else:
+                node_sn = SNSum(score_nodes)
             return (
                 BoolMatcher(
                     must,
@@ -311,15 +346,54 @@ class PlanBuilder:
                     node.get("minimum_should_match"),
                 ),
                 scorer,
+                node_sn,
             )
 
         if ntype == "constant_score":
-            # filter wrapped as query; handled as a Bool with only filter.
-            _validate_boost(node.get("boost"))
-            return (
-                BoolMatcher([], [], [], [node["filter"]], None),
-                None,
+            node_boost = _validate_boost(node.get("boost"))
+            matcher = BoolMatcher([], [], [], [node["filter"]], None)
+            return matcher, None, SNConstant(boost * node_boost, matcher)
+
+        if ntype == "function_score":
+            node_boost = _validate_boost(node.get("boost"))
+            max_boost = node.get("max_boost")
+            min_score = node.get("min_score")
+            matcher, scorer, base_sn = self.build(node["query"], score, boost)
+            node_sn = SNFunctionScore(
+                matcher=matcher,
+                base=base_sn,
+                functions=list(node.get("functions", [])),
+                score_mode=(node.get("score_mode") or "sum").lower(),
+                boost_mode=(node.get("boost_mode") or "multiply").lower(),
+                max_boost=float(max_boost) if max_boost is not None else None,
+                min_score=float(min_score) if min_score is not None else None,
+                boost=boost * node_boost,
             )
+            return matcher, scorer, node_sn
+
+        if ntype == "rank_feature":
+            node_boost = _validate_boost(node.get("boost"))
+            matcher = MatchAll()
+            node_sn = SNRankFeature(
+                matcher=matcher,
+                field=node["field"],
+                modifier=(node.get("modifier") or "none").lower(),
+                missing=float(node.get("missing") if node.get("missing") is not None else 0.0),
+                boost=boost * node_boost,
+            )
+            return matcher, None, node_sn
+
+        if ntype == "script_score":
+            node_boost = _validate_boost(node.get("boost"))
+            matcher, scorer, base_sn = self.build(node["query"], score, boost)
+            node_sn = SNScriptScore(
+                matcher=matcher,
+                base=base_sn,
+                script=node["script"],
+                params=dict(node.get("params") or {}),
+                boost=boost * node_boost,
+            )
+            return matcher, scorer, node_sn
 
         raise ValueError(f"unsupported query node type `{ntype}`")
 
@@ -336,13 +410,14 @@ def build_query_plan(
         query = {"type": "query_string", "query": query}
     builder = PlanBuilder(default_fields)
     score = _request_scores(request)
-    matcher, scorer = builder.build(query, score, 1.0)
+    matcher, scorer, score_node = builder.build(query, score, 1.0)
     plan = QueryPlan(
         matcher=matcher,
         term_groups=[],      # filled by expand
         phrase_specs=[],     # filled by expand
         qualified_terms=[],  # filled by expand
         score_expr=scorer,
+        score_node=score_node,
         root_filter=list(request.get("filter") or []),
     )
     return plan, builder

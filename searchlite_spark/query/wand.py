@@ -1,0 +1,284 @@
+"""Distributed block-max WAND top-k kernel.
+
+The reference's WAND/BMW (searchlite-core/src/query/wand.rs:659-903) is
+a doc-at-a-time pivot loop with per-term upper bounds and per-block
+max-tf skipping (blocks built in postings.rs:84-111).  A sequential
+DAAT loop doesn't distribute, so this kernel re-expresses the same
+pruning idea in Spark's execution model:
+
+1. **Threshold seed** (tiny job): exactly score the highest-upper-bound
+   query term's postings and take the k-th best score as θ₀.  θ₀ is a
+   lower bound of the true top-k threshold, so pruning with it is
+   lossless (the reference grows θ as the heap fills; we pre-seed it).
+
+2. **Block-max interval sweep** (per doc-range bucket, metadata only —
+   no payload decode): candidate blocks are bucketed by doc-id range
+   (blocks spanning a boundary are duplicated and masked).  Within a
+   bucket, a numpy interval sweep over [block_id, max_doc_id] ranges
+   accumulates Σ_t ub_t — per-block BM25 upper bound from the
+   persisted block-max metadata (BMW) or the term-level bound (WAND) —
+   and keeps only doc ranges where the bound ≥ θ₀.  Whole compressed
+   blocks outside surviving ranges are never decoded — the distributed
+   analogue of `skip_to_block` (wand.rs:874-892).
+
+3. **Exact re-score**: decode surviving blocks (delta+varint → numpy),
+   `np.add.at` the per-posting BM25 contributions, local top-k per
+   bucket, then a global `ORDER BY score DESC, doc_id ASC LIMIT k`
+   over ≤ buckets × k rows.
+
+Equivalence invariant (reference tests/pruning.rs:44-104): brute, WAND
+and BMW return identical ids and scores to the brute-force scorer —
+verified in tests/test_pruning.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchlite_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
+
+KERNEL_SCHEMA = "doc_id LONG, score DOUBLE"
+
+
+def term_upper_bound(weight, df, max_tf, n_docs, k1=K1_DEFAULT, b=B_DEFAULT):
+    """UB of weight * bm25(tf<=max_tf, dl>=0): denom >= tf + k1*(1-b)."""
+    idf = max(math.log((n_docs - df + 0.5) / (df + 0.5)), 0.0) + 1.0
+    tf = float(max_tf)
+    return weight * idf * (tf * (k1 + 1.0)) / max(tf + k1 * (1.0 - b), 1e-6)
+
+
+def wand_topk(
+    spark,
+    blocks: DataFrame,
+    key_meta: dict[str, dict],
+    n_docs: int,
+    avgdl: dict[str, float],
+    k: int,
+    mode: str = "bmw",
+    bucket_width: int | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """key_meta: {key: {"weight", "df", "max_tf", "field"}}.
+    Returns (doc_id, score) — exact top-k of Σ_t weight_t * bm25_t."""
+    keys = sorted(key_meta)
+    if not keys:
+        return spark.createDataFrame([], KERNEL_SCHEMA)
+    if bucket_width is None:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        bucket_width = max(n_docs // (parts * 2), 1024)
+
+    # ---- 1. threshold seed from the highest-UB term ----
+    ubs = {
+        key: term_upper_bound(
+            m["weight"], m["df"], m["max_tf"], n_docs, k1, b
+        )
+        for key, m in key_meta.items()
+    }
+    if mode == "brute":
+        theta = 0.0  # decode + score everything (the kernel oracle)
+    else:
+        seed_key = max(ubs, key=ubs.get)
+        theta = _seed_threshold(
+            blocks, key_meta[seed_key], seed_key, avgdl, n_docs, k, k1, b
+        )
+
+    # ---- 2+3. bucketed kernel ----
+    cand = blocks.where(F.col("term").isin(keys)).select(
+        "term", "block_id", "n", "max_doc_id", "max_tf", "doc_ids", "tfs", "dls"
+    )
+    w = F.lit(bucket_width)
+    bucketed = cand.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("block_id") / w).cast("long"),
+                (F.col("max_doc_id") / w).cast("long"),
+            )
+        ),
+    )
+
+    meta = {
+        key: {
+            "weight": float(m["weight"]),
+            "df": float(m["df"]),
+            "avgdl": float(avgdl.get(m["field"], 0.0)),
+            "ub": float(ubs[key]),
+        }
+        for key, m in key_meta.items()
+    }
+    idf = {
+        key: max(math.log((n_docs - m["df"] + 0.5) / (m["df"] + 0.5)), 0.0) + 1.0
+        for key, m in key_meta.items()
+    }
+    for key in meta:
+        meta[key]["idf"] = float(idf[key])
+
+    kernel = _make_kernel(meta, theta, k, mode, bucket_width, k1, b)
+    local = bucketed.groupBy("bucket").applyInPandas(
+        kernel, "bucket LONG, doc_id LONG, score DOUBLE"
+    )
+    return (
+        local.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def _seed_threshold(blocks, m, key, avgdl, n_docs, k, k1, b) -> float:
+    """Exactly score one term's postings; k-th best = θ₀ (0 if df < k)."""
+    if m["df"] < k:
+        return 0.0
+    import numpy as np
+
+    rows = blocks.where(F.col("term") == key).select("tfs", "dls").collect() \
+        if m["df"] <= 2_000_000 else []
+    if not rows:
+        return 0.0
+    from searchlite_spark.index.codec import decode_varints
+
+    tfs = np.concatenate([decode_varints(bytes(r["tfs"])) for r in rows]).astype(
+        np.float64
+    )
+    dls = np.concatenate([decode_varints(bytes(r["dls"])) for r in rows]).astype(
+        np.float64
+    )
+    av = float(avgdl.get(m["field"], 0.0))
+    idf = max(math.log((n_docs - m["df"] + 0.5) / (m["df"] + 0.5)), 0.0) + 1.0
+    dl_eff = np.where(dls > 0, dls, max(av, 1.0))
+    norm = dl_eff / av if av > 0 else np.ones_like(dl_eff)
+    denom = np.maximum(tfs + k1 * (1.0 - b + b * norm), 1e-6)
+    scores = float(m["weight"]) * idf * (tfs * (k1 + 1.0)) / denom
+    if len(scores) < k:
+        return 0.0
+    return float(np.partition(scores, -k)[-k])
+
+
+def _make_kernel(meta, theta, k, mode, bucket_width, k1, b):
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from searchlite_spark.index.codec import decode_deltas, decode_varints
+
+        # deterministic block order => deterministic per-doc fp sum order
+        pdf = pdf.sort_values(["term", "block_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        bucket = int(pdf["bucket"].iloc[0])
+        lo, hi = bucket * bucket_width, (bucket + 1) * bucket_width - 1
+
+        # ---- interval sweep over block-max metadata (no decode) ----
+        starts = np.maximum(pdf["block_id"].to_numpy(), lo)
+        ends = np.minimum(pdf["max_doc_id"].to_numpy(), hi)
+        terms = pdf["term"].to_numpy()
+
+        if theta > 0:
+            if mode == "bmw":
+                # per-block UB from persisted block-max tf
+                block_ubs = np.empty(len(pdf), dtype=np.float64)
+                maxtfs = pdf["max_tf"].to_numpy()
+                for i in range(len(pdf)):
+                    m = meta[terms[i]]
+                    tf = float(maxtfs[i])
+                    block_ubs[i] = (
+                        m["weight"]
+                        * m["idf"]
+                        * (tf * (k1 + 1.0))
+                        / max(tf + k1 * (1.0 - b), 1e-6)
+                    )
+            else:  # wand: term-level UB for every block
+                block_ubs = np.array(
+                    [meta[t]["ub"] for t in terms], dtype=np.float64
+                )
+            # sweep: +ub at start, -ub after end; ranges where the
+            # running sum >= theta survive
+            ev_pos = np.concatenate([starts, ends + 1])
+            ev_val = np.concatenate([block_ubs, -block_ubs])
+            order = np.argsort(ev_pos, kind="stable")
+            ev_pos, ev_val = ev_pos[order], ev_val[order]
+            run = np.cumsum(ev_val)
+            # positions where bound >= theta between ev_pos[i], ev_pos[i+1])
+            ok = run >= theta - 1e-9
+            if not ok.any():
+                return pd.DataFrame(
+                    {"bucket": [], "doc_id": [], "score": []}
+                ).astype({"bucket": "int64", "doc_id": "int64", "score": "float64"})
+            seg_lo = ev_pos[ok]
+            nxt = np.empty_like(ev_pos)
+            nxt[:-1] = ev_pos[1:]
+            nxt[-1] = hi + 1
+            seg_hi = nxt[ok] - 1
+            # block survives if it overlaps any surviving segment
+            surv = np.zeros(len(pdf), dtype=bool)
+            j = np.searchsorted(seg_lo, starts, side="right") - 1
+            for i in range(len(pdf)):
+                jj = j[i]
+                if jj >= 0 and seg_hi[jj] >= starts[i]:
+                    surv[i] = True
+                    continue
+                jj += 1
+                if jj < len(seg_lo) and seg_lo[jj] <= ends[i]:
+                    surv[i] = True
+            cover_lo, cover_hi = seg_lo, seg_hi
+        else:
+            surv = np.ones(len(pdf), dtype=bool)
+            cover_lo = np.array([lo])
+            cover_hi = np.array([hi])
+
+        # ---- decode surviving blocks, exact score ----
+        width = hi - lo + 1
+        acc = np.zeros(width, dtype=np.float64)
+        touched = np.zeros(width, dtype=bool)
+        idxs = np.nonzero(surv)[0]
+        for i in idxs:
+            row = pdf.iloc[i]
+            m = meta[row["term"]]
+            dids = decode_deltas(bytes(row["doc_ids"]), int(row["n"])).astype(
+                np.int64
+            )
+            mask = (dids >= lo) & (dids <= hi)
+            if not mask.any():
+                continue
+            tfs = decode_varints(bytes(row["tfs"]), int(row["n"])).astype(
+                np.float64
+            )[mask]
+            dls = decode_varints(bytes(row["dls"]), int(row["n"])).astype(
+                np.float64
+            )[mask]
+            dids = dids[mask]
+            av = m["avgdl"]
+            dl_eff = np.where(dls > 0, dls, max(av, 1.0))
+            norm = dl_eff / av if av > 0 else np.ones_like(dl_eff)
+            denom = np.maximum(tfs + k1 * (1.0 - b + b * norm), 1e-6)
+            contrib = m["weight"] * m["idf"] * (tfs * (k1 + 1.0)) / denom
+            off = dids - lo
+            np.add.at(acc, off, contrib)
+            touched[off] = True
+
+        # restrict to docs inside surviving coverage (others can't beat θ)
+        doc_off = np.nonzero(touched)[0]
+        if len(doc_off) == 0:
+            return pd.DataFrame({"bucket": [], "doc_id": [], "score": []}).astype(
+                {"bucket": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        doc_ids = doc_off + lo
+        scores = acc[doc_off]
+        if theta > 0:
+            keep = scores >= theta - 1e-9
+            doc_ids, scores = doc_ids[keep], scores[keep]
+        # local top-k, tie-break doc_id asc (wand.rs:30-37)
+        if len(scores) > k:
+            order = np.lexsort((doc_ids, -scores))[:k]
+            doc_ids, scores = doc_ids[order], scores[order]
+        return pd.DataFrame(
+            {
+                "bucket": np.full(len(doc_ids), bucket, dtype=np.int64),
+                "doc_id": doc_ids.astype(np.int64),
+                "score": scores,
+            }
+        )
+
+    return kernel

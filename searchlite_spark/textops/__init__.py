@@ -1,0 +1,17 @@
+from searchlite_spark.textops.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from searchlite_spark.textops.similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_ann_topk,
+)
+from searchlite_spark.textops.quality import (  # noqa: F401
+    token_stats,
+    quality_score,
+    langid,
+    doc_fingerprint,
+)

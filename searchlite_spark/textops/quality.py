@@ -1,0 +1,112 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.  All pure column expressions (codegen'd,
+shuffle-free) so they run at ingest bandwidth on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Small high-frequency function-word profiles per language (public
+# knowledge).  Keep lists short and fixed — they are part of the
+# deterministic contract.
+LANG_PROFILES = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+    "es": ["el", "la", "que", "de", "los", "es", "un", "una", "por", "con"],
+}
+
+STOPWORD_SAMPLE = LANG_PROFILES["en"]
+
+
+def _tokens(col):
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct, mean_token_len) — whitespace + a
+    BPE-ish sub-token count (runs of <=4 chars) as n_subtokens."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.when(n_tokens > 0, total_chars.cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    # BPE-ish proxy: ceil(len/4) pieces per token
+    n_sub = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        n_sub.alias("n_subtokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, quality DOUBLE in [0,1]) — deterministic heuristic:
+    0.4 * type-token ratio + 0.3 * length saturation (n/100 capped)
+    + 0.3 * (1 - stopword excess).  The exact formula is the contract
+    (tested against a SQL oracle), not a claim of linguistic truth."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    ttr = F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    sat = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    sw = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORD_SAMPLE))
+    )
+    sw_ratio = F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
+    q = 0.4 * ttr + 0.3 * sat + 0.3 * (1.0 - F.least(sw_ratio * 2.0, F.lit(1.0)))
+    # floor-quantize instead of round: engines disagree on half-rounding
+    # (HALF_UP vs HALF_EVEN) and ratio-of-small-ints scores hit halves
+    q4 = F.floor(q * 10000.0) / 10000.0
+    return df.select(F.col(id_col), q4.alias("quality"))
+
+
+def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang) — argmax of function-word profile hits; ties
+    break by profile order en > de > fr > es.  A real n-gram model
+    would drop in here; the operator contract (deterministic argmax
+    over per-language token-hit counts) is what matters for the
+    pipeline."""
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+        scores.append((lang, hits))
+    best = F.lit("en")
+    best_score = F.lit(-1)
+    for lang, s in reversed(scores):  # reversed so earlier profiles win ties
+        cond = s >= best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.select(F.col(id_col), best.alias("pred_lang"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint LONG) — rolling polynomial hash over tokens:
+    acc = (acc * 131 + tval) mod (2^31 - 1), where tval =
+    31 * len(token) + ascii(first char).  Order-sensitive (a true
+    rolling hash), overflow-free in 64-bit, and expressible identically
+    in any SQL engine (the oracle contract)."""
+    toks = _tokens(F.col(text_col))
+    mod = F.lit(2147483647)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * 131 + (F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))).cast("long")
+        )
+        % mod,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

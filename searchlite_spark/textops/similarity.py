@@ -1,0 +1,109 @@
+"""Similarity search over an embedding column (ARRAY<FLOAT>).
+
+* ``cosine_topk``  — brute-force cosine top-k: exact baseline.  The dot
+  product stays JVM-side (``zip_with`` + ``aggregate`` in double
+  precision); top-k is ``ORDER BY LIMIT`` (TakeOrdered — no full sort).
+* ``lsh_ann_topk`` — the scale path: random-hyperplane LSH bucketing;
+  probe only the query's bucket (+ optional multi-probe neighbors),
+  re-rank candidates exactly.  At 10^12 rows the bucketed table is
+  written partitioned by bucket so a probe prunes to a few files.
+
+Deterministic hyperplanes: seeded from xxhash64 of (plane, dim) — no
+RNG state, reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cosine DOUBLE) — exact brute-force top-k."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplane_sign(vec_col, plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane: weight(plane, j) =
+    xxhash64(plane, j) scaled to [-1, 1]."""
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(plane), j).cast("double") / F.lit(float(2**63))
+        ),
+    )
+    proj = F.aggregate(
+        F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_buckets(
+    df: DataFrame, dim: int, planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds a ``bucket`` column = packed sign bits of `planes` random
+    hyperplane projections.  Write ``partitionBy("bucket")`` for
+    probe-time file pruning at scale."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        bucket = bucket * 2 + _hyperplane_sign(F.col(vec_col), p, dim)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (+ neighbors at
+    Hamming distance 1 when multiprobe>0), re-rank exactly."""
+    dim = len(query_vec)
+    bucketed = lsh_buckets(df, dim, planes, vec_col)
+    # query bucket computed driver-side with the same hash function via
+    # a 1-row DataFrame (keeps the arithmetic identical)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col} ARRAY<DOUBLE>")
+    qbucket = lsh_buckets(qdf, dim, planes, vec_col).collect()[0]["bucket"]
+    probes = [qbucket]
+    if multiprobe > 0:
+        probes += [qbucket ^ (1 << b) for b in range(planes)][:multiprobe]
+    cand = bucketed.where(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
