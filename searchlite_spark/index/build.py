@@ -185,25 +185,38 @@ def build_index(
     checkpoint: bool = False,
     input_snapshot: str | None = None,
     id_mode: str = "assign",
+    store_columns: list[str] | None = None,
 ) -> Index:
     """id_mode="assign": dense doc ids in doc-key string order (the
     reference's BTreeMap commit order, writer.rs:126-189).
     id_mode="column": the key column already IS a unique BIGINT doc id —
-    use it directly (saves the global ordering pass)."""
+    use it directly (saves the global ordering pass).
+    store_columns: restrict the docs table (docstore) to these columns —
+    e.g. exclude raw `html` blobs that live in the source lake anyway
+    (the reference's stored:false flag, manifest.rs)."""
     t0 = time.time()
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     if id_mode == "column":
+        # a pre-assigned `doc_id` BIGINT column wins; otherwise the key
+        # column itself must be castable to BIGINT
         docs = corpus
-        if schema.doc_id_field != "doc_id":
+        if "doc_id" not in corpus.columns:
             docs = docs.withColumn("doc_id", F.col(schema.doc_id_field).cast("long"))
     else:
         docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
     docs = docs.persist()
     n_docs = docs.count()
 
-    postings_flat = tokenize_postings(docs, schema)
+    from pyspark import StorageLevel
+
+    # Persist before the range shuffle: repartitionByRange SAMPLES its
+    # input to pick bounds, which would otherwise run the tokenizer
+    # twice over the whole corpus.
+    postings_flat = tokenize_postings(docs, schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # Flat postings, globally range-sorted by (term, doc_id).  Range
     # partitioning splits hot terms across partitions on doc_id; parquet
@@ -213,29 +226,20 @@ def build_index(
     ).sortWithinPartitions("term", "doc_id")
     postings_path = f"{out_dir}/postings"
     postings_sorted.write.mode("overwrite").parquet(postings_path)
+    postings_flat.unpersist()
     postings = spark.read.parquet(postings_path)
 
-    # Per-doc field lengths (BM25 |d|): dl = Σ tf over the doc's text
-    # terms (== token count).  Equivalent of the reference's
-    # `_len:<field>` fast fields (fastfields.rs:1162-1164).
+    # docs table = the docstore + fast fields (corpus columns + doc_id).
+    # Per-doc lengths live denormalized in postings/blocks (`dl`), so no
+    # dl pivot/join is needed here — the reference's `_len:<field>` fast
+    # fields have no separate materialization.
     text_names = schema.text_field_names
-    dl = (
-        postings.where(F.col("field").isin(text_names))
-        .groupBy("doc_id", "field")
-        .agg(F.sum("tf").alias("dl"))
-        .groupBy("doc_id")
-        .pivot("field", text_names)
-        .agg(F.first("dl"))
-    )
-    for fname in text_names:
-        dl = dl.withColumnRenamed(fname, f"dl_{fname}")
-    docs_out = docs.join(dl, "doc_id", "left")
-    for fname in text_names:
-        docs_out = docs_out.withColumn(
-            f"dl_{fname}", F.coalesce(F.col(f"dl_{fname}"), F.lit(0)).cast("int")
-        )
     docs_path = f"{out_dir}/docs"
-    docs_out.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
+    docs_store = docs
+    if store_columns is not None:
+        keep = ["doc_id"] + [c for c in store_columns if c in docs.columns]
+        docs_store = docs.select(*dict.fromkeys(keep))
+    docs_store.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
         "doc_id"
     ).write.mode("overwrite").parquet(docs_path)
 
@@ -257,12 +261,17 @@ def build_index(
     )
 
     # Global stats (single-segment scope): avgdl = f32(Σ dl) / f32(N)
-    # (segment.rs compute_avg_lengths).
-    docs_read = spark.read.parquet(docs_path)
-    agg_exprs = []
-    for fname in text_names:
-        agg_exprs.append(F.sum(f"dl_{fname}").alias(f"total_{fname}"))
-    totals = docs_read.agg(*agg_exprs).collect()[0].asDict() if agg_exprs else {}
+    # (segment.rs compute_avg_lengths).  Σ dl per field = Σ tf over that
+    # field's postings — one tiny aggregate over the postings table.
+    totals_rows = (
+        postings.where(F.col("field").isin(text_names))
+        .groupBy("field")
+        .agg(F.sum("tf").alias("total"))
+        .collect()
+        if text_names
+        else []
+    )
+    totals = {f"total_{r['field']}": r["total"] for r in totals_rows}
     import numpy as np
 
     avgdl = {

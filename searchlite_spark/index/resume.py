@@ -74,14 +74,19 @@ def build_chunk(
     partitions_per_chunk: int = 8,
 ) -> dict:
     """Build postings + blocks for doc_id in [lo, hi]; commit marker."""
+    from pyspark import StorageLevel
+
     t0 = time.time()
     part = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
-    postings = tokenize_postings(part, schema)
+    postings = tokenize_postings(part, schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sorted_p = postings.repartitionByRange(
         partitions_per_chunk, "term", "doc_id"
     ).sortWithinPartitions("term", "doc_id")
     pdir = os.path.join(out_dir, "postings", f"chunk={chunk_id}")
     sorted_p.write.mode("overwrite").parquet(pdir)
+    postings.unpersist()
     written = spark.read.parquet(pdir)
     stats = written.agg(
         F.count("*").alias("rows"),
@@ -133,7 +138,7 @@ def build_index_resumable(
     if base_marker is None or base_marker.get("input_snapshot") != input_snapshot:
         if id_mode == "column":
             docs = corpus
-            if schema.doc_id_field != "doc_id":
+            if "doc_id" not in corpus.columns:
                 docs = docs.withColumn(
                     "doc_id", F.col(schema.doc_id_field).cast("long")
                 )
@@ -186,23 +191,8 @@ def finalize_index(
     docs = spark.read.parquet(os.path.join(out_dir, "docs_base"))
 
     text_names = schema.text_field_names
-    dl = (
-        postings.where(F.col("field").isin(text_names))
-        .groupBy("doc_id", "field")
-        .agg(F.first("dl").alias("dl"))
-        .groupBy("doc_id")
-        .pivot("field", text_names)
-        .agg(F.first("dl"))
-    )
-    for fname in text_names:
-        dl = dl.withColumnRenamed(fname, f"dl_{fname}")
-    docs_out = docs.join(dl, "doc_id", "left")
-    for fname in text_names:
-        docs_out = docs_out.withColumn(
-            f"dl_{fname}", F.coalesce(F.col(f"dl_{fname}"), F.lit(0)).cast("int")
-        )
     docs_path = os.path.join(out_dir, "docs")
-    docs_out.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
+    docs.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
         "doc_id"
     ).write.mode("overwrite").parquet(docs_path)
 
@@ -223,14 +213,15 @@ def finalize_index(
     import numpy as np
 
     n_docs = docs.count()
-    docs_read = spark.read.parquet(docs_path)
-    totals = (
-        docs_read.agg(
-            *[F.sum(f"dl_{f}").alias(f"total_{f}") for f in text_names]
-        ).collect()[0].asDict()
+    totals_rows = (
+        postings.where(F.col("field").isin(text_names))
+        .groupBy("field")
+        .agg(F.sum("tf").alias("total"))
+        .collect()
         if text_names
-        else {}
+        else []
     )
+    totals = {f"total_{r['field']}": r["total"] for r in totals_rows}
     avgdl = {
         f: float(np.float32(totals.get(f"total_{f}") or 0) / np.float32(n_docs))
         if n_docs

@@ -43,10 +43,11 @@ MAX_BUCKETS = 10_000
 
 
 def _matched_docs(matches: DataFrame, docs: DataFrame, fields: list[str]) -> DataFrame:
+    """Matched docs with the requested doc fields.  The match score is
+    deliberately dropped: a doc field may itself be named `score`
+    (top_hits, which needs the match score, uses `matches` directly)."""
     cols = ["doc_id"] + [f for f in dict.fromkeys(fields) if f]
-    return matches.select("doc_id", "score").join(
-        docs.select(*cols), "doc_id"
-    )
+    return matches.select("doc_id").join(docs.select(*cols), "doc_id")
 
 
 def _explode_if_array(df: DataFrame, field: str):
@@ -164,6 +165,162 @@ def range_agg(md: DataFrame, field: str, ranges: list[dict]) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out.orderBy("_ord").drop("_ord")
+
+
+def date_histogram_agg(
+    md: DataFrame,
+    field: str,
+    interval: str,
+    offset: int = 0,
+    missing: int | None = None,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """(key LONG epoch-millis, doc_count LONG).
+
+    Fixed intervals replicate the reference's *ceil* quirk for
+    bucket_start (aggs/mod.rs:3391-3395: bucket = ceil((v-offset)/step)
+    — NOT floor); calendar intervals (day/week(Mon)/month/quarter/year)
+    truncate in UTC."""
+    vals = _explode_if_array(md, field)
+    col = F.col(field).cast("long")
+    if missing is not None:
+        col = F.coalesce(col, F.lit(int(missing)))
+    fixed_ms = _parse_fixed_interval(interval)
+    if fixed_ms is not None:
+        step = F.lit(fixed_ms)
+        off = F.lit(int(offset))
+        key = (
+            F.ceil((col - off).cast("double") / step.cast("double")).cast("long")
+            * step
+            + off
+        )
+    else:
+        unit = _parse_calendar_unit(interval)
+        ts = F.timestamp_millis(col - F.lit(int(offset)))
+        if unit == "week":
+            trunc = F.date_trunc("week", ts)  # ISO Monday in Spark
+        else:
+            trunc = F.date_trunc(unit, ts)
+        key = (F.unix_timestamp(trunc) * 1000 + F.lit(int(offset))).cast("long")
+    out = (
+        vals.where(col.isNotNull())
+        .select("doc_id", key.alias("key"))
+        .distinct()
+        .groupBy("key")
+        .agg(F.count("*").alias("doc_count"))
+    )
+    if min_doc_count > 0:
+        out = out.where(F.col("doc_count") >= min_doc_count)
+    return out.orderBy("key")
+
+
+def _parse_fixed_interval(spec: str) -> int | None:
+    """Fixed interval to millis (aggs/mod.rs:3474-3498 style: ms/s/m/h/d
+    numeric multiples).  Calendar specs return None."""
+    s = spec.strip().lower()
+    if s in ("day", "week", "month", "quarter", "year", "1w", "1m", "1q", "1y"):
+        return None if s != "1d" else 86_400_000
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", s)
+    if not m:
+        return None
+    n, unit = int(m.group(1)), m.group(2)
+    mult = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}[unit]
+    return n * mult
+
+
+def _parse_calendar_unit(spec: str) -> str:
+    s = spec.strip().lower()
+    mapping = {
+        "day": "day", "1d": "day",
+        "week": "week", "1w": "week",
+        "month": "month", "1m": "month",
+        "quarter": "quarter", "1q": "quarter",
+        "year": "year", "1y": "year",
+    }
+    if s not in mapping:
+        raise ValueError(f"unsupported date_histogram interval `{spec}`")
+    return mapping[s]
+
+
+def composite_agg(
+    md: DataFrame,
+    sources: list[dict],
+    size: int = 10,
+    after: dict | None = None,
+) -> DataFrame:
+    """Paginated cartesian buckets over terms/histogram sources
+    (aggs/mod.rs:1689-1841): deterministic key order, keyset `after`
+    resume.  Returns one column per source name + doc_count."""
+    cols, names = [], []
+    fields = []
+    for src in sources:
+        (kind, body), = src.items() if "type" not in src else [(src["type"], src)]
+        name = body["name"]
+        names.append(name)
+        fields.append(body["field"])
+        if kind == "terms":
+            cols.append(F.col(body["field"]).alias(name))
+        elif kind == "histogram":
+            interval = float(body["interval"])
+            cols.append(
+                (F.floor(F.col(body["field"]) / interval) * interval).alias(name)
+            )
+        else:
+            raise ValueError(f"unsupported composite source `{kind}`")
+    grouped = (
+        md.select("doc_id", *[c for c in dict.fromkeys(fields)])
+        .select("doc_id", *cols)
+        .groupBy(*names)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(*[F.col(n).asc() for n in names])
+    )
+    if after:
+        # keyset predicate: strictly greater in lexicographic key order
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for n in names:
+            pred = pred | (eq & (F.col(n) > F.lit(after[n])))
+            eq = eq & (F.col(n) == F.lit(after[n]))
+        grouped = grouped.where(pred)
+    return grouped.limit(size)
+
+
+def significant_terms_agg(
+    matches: DataFrame,
+    docs: DataFrame,
+    field: str,
+    size: int = 10,
+) -> DataFrame:
+    """Foreground vs background doc-frequency ratio
+    (aggs/mod.rs:131-282): score = (fg/fg_total)/(bg/bg_total)."""
+    md = _matched_docs(matches, docs, [field])
+    fg = (
+        _explode_if_array(md, field)
+        .where(F.col(field).isNotNull())
+        .select("doc_id", F.col(field).alias("key"))
+        .distinct()
+        .groupBy("key")
+        .agg(F.count("*").alias("fg"))
+    )
+    bg = (
+        _explode_if_array(docs.select("doc_id", field), field)
+        .where(F.col(field).isNotNull())
+        .select("doc_id", F.col(field).alias("key"))
+        .distinct()
+        .groupBy("key")
+        .agg(F.count("*").alias("bg"))
+    )
+    fg_total = md.select("doc_id").distinct().count()
+    bg_total = docs.count()
+    if fg_total == 0 or bg_total == 0:
+        return fg.select("key", "fg", F.lit(0).alias("bg"), F.lit(0.0).alias("score")).limit(0)
+    out = fg.join(bg, "key").withColumn(
+        "score",
+        (F.col("fg") / F.lit(float(fg_total))) / (F.col("bg") / F.lit(float(bg_total))),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("key").asc()).limit(size)
 
 
 # ---- metric aggregations ---------------------------------------------------
@@ -300,24 +457,378 @@ def _filter_fields(node: dict) -> list[str]:
     return []
 
 
+def _norm_spec(spec: dict) -> tuple[str, dict]:
+    """Accept both the reference's internally-tagged shape
+    ({"type": "terms", "field": ...}) and the external shorthand
+    ({"terms": {"field": ...}})."""
+    if "type" in spec:
+        return spec["type"], spec
+    (kind, body), = spec.items()
+    return kind, body
+
+
+_METRIC_KINDS = ("stats", "extended_stats", "value_count", "cardinality",
+                 "percentiles", "avg", "sum", "min", "max")
+
+_PIPELINE_KINDS = ("bucket_sort", "avg_bucket", "sum_bucket", "derivative",
+                   "moving_avg", "bucket_script")
+
+
+def _metric_exprs(name: str, kind: str, body: dict) -> list:
+    """Sub-aggregation metric expressions for a single groupBy pass.
+    Multi-valued fields inside sub-aggs are summed per first value only
+    when scalar; array fields need explode (not supported in sub-aggs
+    yet)."""
+    f = body["field"]
+    if kind == "stats" or kind == "extended_stats":
+        out = [
+            F.count(f).alias(f"{name}.count"),
+            F.min(f).cast("double").alias(f"{name}.min"),
+            F.max(f).cast("double").alias(f"{name}.max"),
+            F.sum(f).cast("double").alias(f"{name}.sum"),
+            F.avg(f).alias(f"{name}.avg"),
+        ]
+        if kind == "extended_stats":
+            out += [
+                F.var_pop(f).alias(f"{name}.variance"),
+                F.stddev_pop(f).alias(f"{name}.std_deviation"),
+            ]
+        return out
+    if kind == "value_count":
+        return [F.count(f).alias(f"{name}.value")]
+    if kind == "cardinality":
+        return [F.countDistinct(f).alias(f"{name}.value")]
+    if kind == "avg":
+        return [F.avg(f).alias(f"{name}.value")]
+    if kind == "sum":
+        return [F.sum(f).cast("double").alias(f"{name}.value")]
+    if kind == "min":
+        return [F.min(f).cast("double").alias(f"{name}.value")]
+    if kind == "max":
+        return [F.max(f).cast("double").alias(f"{name}.value")]
+    raise ValueError(f"unsupported sub-aggregation `{kind}`")
+
+
+def _bucket_agg_with_subs(md, key_col, sub_aggs: dict):
+    """groupBy(key) with doc_count + metric sub-aggs in ONE pass."""
+    exprs = [F.count("*").alias("doc_count")]
+    for name, spec in (sub_aggs or {}).items():
+        kind, body = _norm_spec(spec)
+        exprs += _metric_exprs(name, kind, body)
+    return md.groupBy(key_col.alias("key")).agg(*exprs)
+
+
+def _row_to_bucket(r, sub_aggs: dict) -> dict:
+    d = r.asDict()
+    bucket = {"key": d.pop("key"), "doc_count": d.pop("doc_count")}
+    for name, spec in (sub_aggs or {}).items():
+        kind, _ = _norm_spec(spec)
+        sub = {
+            k.split(".", 1)[1]: v for k, v in d.items() if k.startswith(name + ".")
+        }
+        bucket[name] = sub
+    return bucket
+
+
+def _metric_path(bucket: dict, path: str):
+    """Resolve `metric` / `metric.sub` / `_count` against a bucket."""
+    if path == "_count":
+        return bucket["doc_count"]
+    parts = path.replace(">", ".").split(".")
+    cur = bucket
+    for p in parts:
+        cur = cur[p]
+    if isinstance(cur, dict) and "value" in cur:
+        cur = cur["value"]
+    return cur
+
+
+def _apply_pipelines(out: dict, pipelines: list[tuple[str, str, dict]]):
+    """Sibling pipeline aggs over an earlier bucket agg's buckets
+    (aggs/mod.rs:2491-2736).  buckets_path = "parent>metric[.sub]"."""
+    import math
+
+    for name, kind, body in pipelines:
+        path = body.get("buckets_path", "")
+        if isinstance(path, dict):  # bucket_script: map of var -> path
+            first = next(iter(path.values()), "")
+            parent, _, metric = first.partition(">")
+        else:
+            parent, _, metric = path.partition(">")
+        buckets = out.get(parent, {}).get("buckets")
+        if buckets is None:
+            raise ValueError(f"pipeline `{name}` references unknown aggregation `{parent}`")
+        gap = (body.get("gap_policy") or "skip").lower()
+
+        def vals():
+            res = []
+            for b in buckets:
+                try:
+                    v = _metric_path(b, metric)
+                except KeyError:
+                    v = None
+                if v is None and gap == "insert_zeros":
+                    v = 0.0
+                res.append(v)
+            return res
+
+        if kind == "avg_bucket":
+            vs = [v for v in vals() if v is not None]
+            out[name] = {"value": (sum(vs) / len(vs)) if vs else None}
+        elif kind == "sum_bucket":
+            vs = [v for v in vals() if v is not None]
+            out[name] = {"value": sum(vs) if vs else None}
+        elif kind == "derivative":
+            unit = body.get("unit")
+            vs = vals()
+            prev = None
+            for b, v in zip(buckets, vs):
+                if prev is not None and v is not None:
+                    d = v - prev
+                    if unit:
+                        d /= float(unit)
+                    b[name] = {"value": d}
+                if v is not None:
+                    prev = v
+        elif kind == "moving_avg":
+            window = int(body.get("window", 5))
+            vs = vals()
+            hist = []
+            for b, v in zip(buckets, vs):
+                if v is not None:
+                    hist.append(v)
+                tail = hist[-window:]
+                if tail:
+                    b[name] = {"value": sum(tail) / len(tail)}
+            predict = int(body.get("predict", 0) or 0)
+            if predict and hist:
+                tail = hist[-window:]
+                out.setdefault(parent, {})["predictions"] = [
+                    sum(tail) / len(tail)
+                ] * predict
+        elif kind == "bucket_script":
+            from searchlite_spark.query.script import compile_script  # noqa: F401
+            script = body["script"]
+            paths = body.get("buckets_path")
+            if not isinstance(paths, dict):
+                raise ValueError("bucket_script needs a buckets_path map")
+            import re as _re
+            for b in buckets:
+                env = {}
+                ok = True
+                for var, pth in paths.items():
+                    # paths are parent-relative: "h>m" -> "m"
+                    rel = pth.partition(">")[2] or pth
+                    try:
+                        env[var] = _metric_path(b, rel)
+                    except KeyError:
+                        ok = False
+                        break
+                    if env[var] is None:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                val = _eval_bucket_script(script, env)
+                if val is not None and math.isfinite(val):
+                    b[name] = {"value": val}
+        elif kind == "bucket_sort":
+            sort = body.get("sort") or []
+            frm = int(body.get("from", 0) or 0)
+            size = body.get("size")
+
+            def sort_key(b):
+                ks = []
+                for sspec in sort:
+                    if isinstance(sspec, str):
+                        fldp, order = sspec, "asc"
+                    else:
+                        fldp, order = sspec["field"], sspec.get("order", "asc")
+                    v = (
+                        b["doc_count"] if fldp == "_count"
+                        else b["key"] if fldp == "_key"
+                        else _metric_path(b, fldp)
+                    )
+                    ks.append((v, order))
+                return ks
+
+            if sort:
+                import functools
+
+                def cmp(a, bb):
+                    for (va, o), (vb, _) in zip(sort_key(a), sort_key(bb)):
+                        if va == vb:
+                            continue
+                        lt = -1 if va < vb else 1
+                        return lt if o == "asc" else -lt
+                    return 0
+
+                buckets.sort(key=functools.cmp_to_key(cmp))
+            end = frm + size if size is not None else None
+            out[parent]["buckets"] = buckets[frm:end]
+        else:  # pragma: no cover
+            raise ValueError(kind)
+
+
+def _eval_bucket_script(script: str, env: dict) -> float | None:
+    """Arithmetic over named metric values (aggs/mod.rs:2909-3116) —
+    reuses the script tokenizer/RPN with plain-float evaluation."""
+    from searchlite_spark.query.script import _to_rpn, tokenize
+
+    rpn = _to_rpn(tokenize(script))
+    stack: list[float] = []
+    for t, v in rpn:
+        if t == "num":
+            stack.append(float(v))
+        elif t == "ident":
+            if v not in env:
+                return None
+            stack.append(float(env[v]))
+        elif v == "u-":
+            stack.append(-stack.pop())
+        else:
+            b = stack.pop()
+            a = stack.pop()
+            if v == "+":
+                stack.append(a + b)
+            elif v == "-":
+                stack.append(a - b)
+            elif v == "*":
+                stack.append(a * b)
+            else:
+                if b == 0:
+                    return None
+                stack.append(a / b)
+    return stack[0] if len(stack) == 1 else None
+
+
 def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
-    """Collect reference-shaped aggregation responses."""
-    out = {}
+    """Collect reference-shaped aggregation responses.  Bucket aggs
+    support metric sub-aggs (single-pass groupBy); pipeline aggs
+    post-process sibling buckets driver-side (buckets are <= 10k)."""
+    out: dict = {}
+    pipelines: list[tuple[str, str, dict]] = []
     for name, spec in aggs.items():
-        (kind, body), = (
-            spec.items() if len(spec) == 1 else [(k, v) for k, v in spec.items()][0:1]
-        )
+        kind, body = _norm_spec(spec)
+        if kind in _PIPELINE_KINDS:
+            pipelines.append((name, kind, body))
+            continue
+        sub_aggs = body.get("aggs") or {}
+        sub_fields = [
+            _norm_spec(s)[1]["field"] for s in sub_aggs.values()
+        ]
         if kind == "terms":
+            fields = [body["field"]] + sub_fields
+            md = _matched_docs(matches, docs, fields)
+            key = F.col(body["field"])
+            if body.get("missing") is not None:
+                key = F.coalesce(key, F.lit(body["missing"]))
+            grouped = _bucket_agg_with_subs(
+                md.where(key.isNotNull()), key, sub_aggs
+            )
+            mdc = int(body.get("min_doc_count", 1) or 0)
+            if mdc > 0:
+                grouped = grouped.where(F.col("doc_count") >= mdc)
+            rows = grouped.orderBy(
+                F.col("doc_count").desc(), F.col("key").asc()
+            ).limit(min(int(body.get("size", 10)), MAX_BUCKETS)).collect()
+            out[name] = {"buckets": [_row_to_bucket(r, sub_aggs) for r in rows]}
+        elif kind == "rare_terms":
             md = _matched_docs(matches, docs, [body["field"]])
-            rows = terms_agg(
-                md, body["field"], int(body.get("size", 10)),
-                int(body.get("min_doc_count", 1)), body.get("missing"),
+            rows = rare_terms_agg(
+                md, body["field"], int(body.get("max_doc_count", 1))
             ).collect()
             out[name] = {
                 "buckets": [
                     {"key": r["key"], "doc_count": r["doc_count"]} for r in rows
                 ]
             }
+        elif kind == "significant_terms":
+            rows = significant_terms_agg(
+                matches, docs, body["field"], int(body.get("size", 10))
+            ).collect()
+            out[name] = {
+                "buckets": [
+                    {"key": r["key"], "doc_count": r["fg"], "bg_count": r["bg"],
+                     "score": r["score"]}
+                    for r in rows
+                ]
+            }
+        elif kind == "histogram":
+            fields = [body["field"]] + sub_fields
+            md = _matched_docs(matches, docs, fields)
+            interval = float(body["interval"])
+            offset = float(body.get("offset", 0))
+            key = (
+                F.floor((F.col(body["field"]) - offset) / interval) * interval
+                + offset
+            ).cast("double")
+            grouped = _bucket_agg_with_subs(
+                md.where(F.col(body["field"]).isNotNull()), key, sub_aggs
+            )
+            eb = body.get("extended_bounds")
+            mdc = body.get("min_doc_count")
+            mdc = int(mdc) if mdc is not None else (0 if eb else 1)
+            if mdc > 0:
+                grouped = grouped.where(F.col("doc_count") >= mdc)
+            rows = grouped.orderBy("key").collect()
+            buckets = [_row_to_bucket(r, sub_aggs) for r in rows]
+            if eb:
+                have = {b["key"] for b in buckets}
+                lo = math_floor((float(eb["min"]) - offset) / interval)
+                hi = math_floor((float(eb["max"]) - offset) / interval)
+                for i in range(lo, hi + 1):
+                    k = i * interval + offset
+                    if k not in have:
+                        buckets.append({"key": k, "doc_count": 0})
+                buckets.sort(key=lambda b: b["key"])
+            out[name] = {"buckets": buckets}
+        elif kind == "date_histogram":
+            md = _matched_docs(matches, docs, [body["field"]] + sub_fields)
+            rows = date_histogram_agg(
+                md,
+                body["field"],
+                body.get("interval") or body.get("calendar_interval")
+                or body.get("fixed_interval"),
+                int(body.get("offset", 0) or 0),
+                body.get("missing"),
+                int(body.get("min_doc_count", 1) or 0),
+            ).collect()
+            out[name] = {
+                "buckets": [
+                    {"key": r["key"], "doc_count": r["doc_count"]} for r in rows
+                ]
+            }
+        elif kind in ("range", "date_range"):
+            md = _matched_docs(matches, docs, [body["field"]])
+            rows = range_agg(md, body["field"], body["ranges"]).collect()
+            out[name] = {
+                "buckets": [
+                    {"key": r["key"], "doc_count": r["doc_count"]} for r in rows
+                ]
+            }
+        elif kind == "composite":
+            md_fields = []
+            for srcspec in body["sources"]:
+                k2, b2 = _norm_spec(srcspec)
+                md_fields.append(b2["field"])
+            md = _matched_docs(matches, docs, md_fields)
+            norm_sources = []
+            for srcspec in body["sources"]:
+                k2, b2 = _norm_spec(srcspec)
+                norm_sources.append({k2: b2})
+            rows = composite_agg(
+                md, norm_sources, int(body.get("size", 10)), body.get("after")
+            ).collect()
+            names = [list(s.values())[0]["name"] for s in norm_sources]
+            buckets = [
+                {"key": {n: r[n] for n in names}, "doc_count": r["doc_count"]}
+                for r in rows
+            ]
+            resp = {"buckets": buckets}
+            if buckets:
+                resp["after_key"] = buckets[-1]["key"]
+            out[name] = resp
         elif kind in ("stats", "extended_stats"):
             md = _matched_docs(matches, docs, [body["field"]])
             r = stats_agg(md, body["field"], kind == "extended_stats").collect()[0]
@@ -328,35 +839,58 @@ def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
         elif kind == "cardinality":
             md = _matched_docs(matches, docs, [body["field"]])
             out[name] = {"value": cardinality_agg(md, body["field"]).collect()[0][0]}
-        elif kind == "histogram":
-            md = _matched_docs(matches, docs, [body["field"]])
-            eb = body.get("extended_bounds")
-            rows = histogram_agg(
-                md, body["field"], float(body["interval"]),
-                float(body.get("offset", 0)),
-                int(body.get("min_doc_count", 1)),
-                (eb["min"], eb["max"]) if eb else None,
-            ).collect()
-            out[name] = {
-                "buckets": [
-                    {"key": r["key"], "doc_count": r["doc_count"]} for r in rows
-                ]
-            }
-        elif kind == "range":
-            md = _matched_docs(matches, docs, [body["field"]])
-            rows = range_agg(md, body["field"], body["ranges"]).collect()
-            out[name] = {
-                "buckets": [
-                    {"key": r["key"], "doc_count": r["doc_count"]} for r in rows
-                ]
-            }
         elif kind == "percentiles":
             md = _matched_docs(matches, docs, [body["field"]])
             rows = percentiles_agg(md, body["field"], body.get("percents")).collect()
             out[name] = {"values": {str(r["percent"]): r["value"] for r in rows}}
+        elif kind == "percentile_ranks":
+            md = _matched_docs(matches, docs, [body["field"]])
+            f = body["field"]
+            vals = _explode_if_array(md, f).where(F.col(f).isNotNull())
+            total = vals.count()
+            ranks = {}
+            for target in body["values"]:
+                le = vals.where(F.col(f) <= F.lit(target)).count()
+                ranks[str(float(target))] = (
+                    100.0 * le / total if total else None
+                )
+            out[name] = {"values": ranks}
         elif kind == "filter":
-            r = filter_agg(matches, docs, body["filter"]).collect()[0]
-            out[name] = {"doc_count": r["doc_count"]}
+            fcols = _filter_fields(body["filter"])
+            md = _matched_docs(matches, docs, fcols + sub_fields)
+            filtered = md.where(compile_filters(md, [body["filter"]]))
+            resp = {"doc_count": filtered.count()}
+            if sub_aggs:
+                sub_matches = matches.join(
+                    filtered.select("doc_id"), "doc_id", "left_semi"
+                )
+                resp.update(run_aggregations(sub_matches, docs, sub_aggs))
+            out[name] = resp
+        elif kind == "top_hits":
+            # request-level top_hits over the whole match set
+            size = int(body.get("size", 3))
+            sort = body.get("sort") or [{"field": "_score", "order": "desc"}]
+            md = matches
+            order = []
+            for sspec in sort:
+                fld = sspec["field"] if isinstance(sspec, dict) else sspec
+                o = sspec.get("order", "asc") if isinstance(sspec, dict) else "asc"
+                col = F.col("score") if fld == "_score" else F.col(fld)
+                if fld != "_score" and fld not in md.columns:
+                    md = md.join(docs.select("doc_id", fld), "doc_id", "left")
+                order.append(col.desc() if o == "desc" else col.asc())
+            order.append(F.col("doc_id").asc())
+            rows = md.orderBy(*order).limit(size).collect()
+            out[name] = {
+                "hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
+            }
         else:
             raise ValueError(f"unsupported aggregation `{kind}`")
+    _apply_pipelines(out, pipelines)
     return out
+
+
+def math_floor(x: float) -> int:
+    import math
+
+    return int(math.floor(x))

@@ -85,30 +85,199 @@ class Searcher:
     # -- public API -----------------------------------------------------
 
     def search(self, request: dict) -> dict:
-        """Full search: returns the reference-shaped response dict."""
-        hits_df, total = self.search_df(request, with_total=True)
+        """Full search: returns the reference-shaped response dict
+        (hits, total, collapse groups, rescore, highlight, suggest,
+        aggregations)."""
+        from searchlite_spark.query import postprocess as PP
+
         limit = int(request.get("limit", DEFAULT_LIMIT))
-        rows = hits_df.limit(limit).collect()
+        if limit <= 0:
+            raise ValueError("limit must be > 0")
+        scored = self._matched_scored(request)
+        scored = scored.persist()
+        try:
+            return self._finish_search(request, scored, limit, PP)
+        finally:
+            scored.unpersist()
+
+    def _finish_search(self, request, scored, limit, PP):
+        sort = request.get("sort")
+        total = scored.count()
+        resp = {"total_hits_estimate": total}
+        # aggregations stream over EVERY matched doc, pre-collapse
+        # (reader.rs: collector runs in accept(); collapse at 2829)
+        full_match_set = scored
+
+        inner_df = None
+        collapse = request.get("collapse")
+        if collapse:
+            inner_cfg = collapse.get("inner_hits") or {}
+            reps, inner_df = PP.collapse_hits(
+                self,
+                scored,
+                collapse["field"],
+                self._sort_cols(sort),
+                int(inner_cfg.get("size", 0) or 0),
+                int(inner_cfg.get("from", 0) or 0),
+            )
+            resp["total_groups"] = reps.count()
+            scored = reps.select("doc_id", "score", "_ckey")
+
+        ordered = self._apply_sort(scored, sort)
+        search_after = request.get("search_after")
+        if search_after and not sort:
+            # keyset pagination on the default (score, doc_id) sort
+            s_after, d_after = float(search_after[0]), int(search_after[1])
+            ordered = ordered.where(
+                (F.col("score") < s_after)
+                | ((F.col("score") == s_after) & (F.col("doc_id") > d_after))
+            )
+        if request.get("rescore"):
+            combined = PP.rescore_hits(self, ordered, request["rescore"], limit)
+            ordered = combined.orderBy(
+                F.desc("_win"), F.desc("score"), F.asc("doc_id")
+            ).drop("_win")
+        # collect the ranked window first (order is authoritative), then
+        # fetch stored fields for just those ids and merge in order —
+        # avoids a re-sort after the docs join disturbing rescore's
+        # window-block ordering
+        top_rows = ordered.limit(limit).collect()
+        ids = [r["doc_id"] for r in top_rows]
+        field_rows = {
+            r["doc_id"]: r.asDict()
+            for r in self.docs.where(F.col("doc_id").isin(ids)).collect()
+        }
+        rows = []
+        for r in top_rows:
+            d = dict(field_rows.get(r["doc_id"], {}))
+            d.update(r.asDict())
+            rows.append(d)
+
+        # highlight setup: per-field query tokens + phrase buckets
+        hl = request.get("highlight")
+        hl_field = request.get("highlight_field")
+        hl_terms, hl_phrases = None, None
+        if hl or hl_field:
+            hl_terms, hl_phrases = self._highlight_inputs(request)
+
+        # inner hits for the returned groups only
+        inner_map = {}
+        if inner_df is not None and rows:
+            keys = [r.get("_ckey") for r in rows if r.get("_ckey") is not None]
+            irows = (
+                inner_df.where(F.col("_ckey").isin(keys))
+                .select("doc_id", "score", "_ckey")
+                .collect()
+            )
+            for r in irows:
+                inner_map.setdefault(r["_ckey"], []).append(
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                )
+
         hits = []
         for r in rows:
-            d = r.asDict()
-            hits.append(
-                {
-                    "doc_id": d.pop("doc_id"),
-                    "score": d.pop("score", None),
-                    "fields": d,
+            d = dict(r)
+            ckey = d.pop("_ckey", None)
+            hit = {
+                "doc_id": d.pop("doc_id"),
+                "score": d.pop("score", None),
+                "fields": d,
+            }
+            if ckey is not None:
+                hit["collapse_key"] = ckey
+                if inner_map:
+                    hit["inner_hits"] = inner_map.get(ckey, [])
+            if hl:
+                fields_cfg = hl.get("fields") or {
+                    f: {} for f in self.schema.text_field_names
                 }
-            )
-        resp = {"total_hits_estimate": total, "hits": hits}
+                frags = {}
+                for fname, cfg in fields_cfg.items():
+                    text = d.get(fname)
+                    if not isinstance(text, str):
+                        continue
+                    out = PP.highlight_fragments(
+                        text,
+                        hl_terms.get(fname, []),
+                        hl_phrases.get(fname, []),
+                        cfg.get("pre_tag", hl.get("pre_tag", "<em>")),
+                        cfg.get("post_tag", hl.get("post_tag", "</em>")),
+                        int(cfg.get("fragment_size", hl.get("fragment_size", 160))),
+                        int(cfg.get("number_of_fragments",
+                                    hl.get("number_of_fragments", 3))),
+                    )
+                    if out:
+                        frags[fname] = out
+                if frags:
+                    hit["highlight"] = frags
+            if hl_field:
+                text = d.get(hl_field)
+                if isinstance(text, str):
+                    snip = PP.make_snippet(
+                        text,
+                        hl_terms.get(hl_field, []),
+                        hl_phrases.get(hl_field, []),
+                    )
+                    if snip:
+                        hit["snippet"] = snip
+            hits.append(hit)
+        resp["hits"] = hits
+
         aggs = request.get("aggs") or request.get("aggregations")
         if aggs:
             from searchlite_spark.query.aggs import run_aggregations
 
-            match_set = self.match_set(request)
             resp["aggregations"] = run_aggregations(
-                match_set, self.docs, aggs
+                full_match_set, self.docs, aggs
             )
+
+        if request.get("profile"):
+            resp["profile"] = {
+                "total_matches": total,
+                "returned": len(hits),
+            }
+        if hits and not sort:
+            resp["next_search_after"] = [hits[-1]["score"], hits[-1]["doc_id"]]
+
+        suggest = request.get("suggest")
+        if suggest:
+            out = {}
+            for name, cfg in suggest.items():
+                if cfg.get("type", "completion") != "completion":
+                    raise ValueError("only completion suggesters are supported")
+                out[name] = {
+                    "options": PP.suggest_completion(
+                        self,
+                        cfg["field"],
+                        cfg["prefix"],
+                        int(cfg.get("size", 5)),
+                        cfg.get("fuzzy"),
+                    )
+                }
+            resp["suggest"] = out
         return resp
+
+    def _highlight_inputs(self, request):
+        """Per-field query tokens and phrase buckets for highlighting
+        (reader.rs:3415-3485 wiring)."""
+        plan, builder = build_query_plan(request, self.schema)
+        groups, qualified = expand_groups(
+            builder, self.schema, self.expander, request.get("fuzzy")
+        )
+        phrase_specs = expand_phrases(builder, self.schema)
+        terms: dict[str, list[str]] = {}
+        for qt in qualified:
+            tok = qt.key.split(":", 1)[1]
+            lst = terms.setdefault(qt.field, [])
+            if tok not in lst:
+                lst.append(tok)
+        phrases: dict[str, list[list[str]]] = {}
+        for spec in phrase_specs:
+            for fname, buckets in spec.field_tokens.items():
+                seq = [alts[0] for alts in buckets if alts]
+                if seq:
+                    phrases.setdefault(fname, []).append(seq)
+        return terms, phrases
 
     def search_df(
         self, request: dict, with_total: bool = False
@@ -210,7 +379,16 @@ class Searcher:
 
     # -- core -----------------------------------------------------------
 
-    def _matched_scored(self, request: dict) -> DataFrame:
+    def _matched_scored(
+        self,
+        request: dict,
+        doc_subset: DataFrame | None = None,
+        keep_dropped: bool = False,
+    ) -> DataFrame:
+        """doc_subset: restrict evaluation to these doc_ids (rescore
+        window).  keep_dropped: emit score=NULL for hits the score hook
+        drops instead of filtering them (rescore needs to distinguish
+        matched-but-dropped from not-matched)."""
         plan, builder = build_query_plan(request, self.schema)
         groups, qualified = expand_groups(
             builder, self.schema, self.expander, request.get("fuzzy")
@@ -245,6 +423,8 @@ class Searcher:
             cand = self.postings.where(F.col("term").isin(all_keys)).select(
                 "doc_id", "term", "tf", "dl"
             )
+            if doc_subset is not None:
+                cand = cand.join(F.broadcast(doc_subset), "doc_id", "left_semi")
             scored = self._score_candidates(cand, key_df, needs_score, plan)
 
         # ---- phrase matches ----
@@ -257,11 +437,13 @@ class Searcher:
         full_scan = may_match_empty(plan.matcher)
         if full_scan:
             base = self.docs.select("doc_id")
+            if doc_subset is not None:
+                base = base.join(F.broadcast(doc_subset), "doc_id", "left_semi")
             if scored is not None:
                 base = base.join(scored, "doc_id", "left")
             else:
                 base = base.withColumn("_groups", F.array().cast("array<int>"))
-                base = base.withColumn("score", F.lit(None).cast("double"))
+                base = base.withColumn("_score", F.lit(None).cast("double"))
                 base = base.withColumn(
                     "_leaf_scores", F.lit(None).cast("map<int,double>")
                 )
@@ -273,7 +455,7 @@ class Searcher:
             else:
                 base = phrases_df.select("doc_id").withColumn(
                     "_groups", F.array().cast("array<int>")
-                ).withColumn("score", F.lit(None).cast("double")).withColumn(
+                ).withColumn("_score", F.lit(None).cast("double")).withColumn(
                     "_leaf_scores", F.lit(None).cast("map<int,double>")
                 )
         if phrases_df is not None:
@@ -308,13 +490,15 @@ class Searcher:
                 plan.score_node,
                 matched,
                 F.col("_leaf_scores"),
-                F.col("score") if P.is_pure_sum(plan.score_expr) else None,
+                F.col("_score") if P.is_pure_sum(plan.score_expr) else None,
             )
             out = matched.select("doc_id", score.alias("score"))
+            if keep_dropped:
+                return out
             return out.where(F.col("score").isNotNull())
         if needs_score:
             if P.is_pure_sum(plan.score_expr):
-                score = F.coalesce(F.col("score"), F.lit(0.0))
+                score = F.coalesce(F.col("_score"), F.lit(0.0))
             else:
                 score = score_col(plan.score_expr, F.col("_leaf_scores"))
         else:
@@ -399,7 +583,7 @@ class Searcher:
                 F.array_distinct(F.flatten(F.collect_list("groups"))).alias(
                     "_groups"
                 ),
-                F.sum("_contrib").alias("score"),
+                F.sum("_contrib").alias("_score"),
                 F.lit(None).cast("map<int,double>").alias("_leaf_scores"),
             )
         per_leaf = joined.groupBy(
@@ -415,7 +599,7 @@ class Searcher:
             F.array_distinct(F.flatten(F.flatten(F.collect_list("_ga")))).alias(
                 "_groups"
             ),
-            F.sum("_s").alias("score"),
+            F.sum("_s").alias("_score"),
         )
 
     # -- phrases ---------------------------------------------------------
@@ -521,6 +705,9 @@ class Searcher:
     # -- sorting ----------------------------------------------------------
 
     def _sort_cols(self, sort) -> list[Column]:
+        """Sort plan (sort.rs:80-298): _score and/or doc fields;
+        multi-valued fields sort by min (asc) / max (desc); missing
+        last; stable doc_id tiebreak."""
         if not sort:
             return [F.col("score").desc(), F.col("doc_id").asc()]
         cols: list[Column] = []
@@ -533,6 +720,11 @@ class Searcher:
                 c = F.col("score")
             else:
                 c = F.col(fld)
+                try:
+                    if isinstance(self.docs.schema[fld].dataType, T.ArrayType):
+                        c = F.array_min(c) if order == "asc" else F.array_max(c)
+                except KeyError:
+                    pass
             cols.append(
                 c.desc_nulls_last() if order == "desc" else c.asc_nulls_last()
             )
@@ -542,16 +734,18 @@ class Searcher:
     def _apply_sort(self, scored: DataFrame, sort) -> DataFrame:
         if not sort:
             return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        keep = list(scored.columns)
         fields = [
             (s if isinstance(s, str) else s["field"])
             for s in sort
             if (s if isinstance(s, str) else s["field"]) != "_score"
         ]
+        fields = [f for f in dict.fromkeys(fields) if f not in keep]
         if fields:
             scored = scored.join(
-                self.docs.select("doc_id", *dict.fromkeys(fields)), "doc_id", "left"
+                self.docs.select("doc_id", *fields), "doc_id", "left"
             )
-        return scored.orderBy(*self._sort_cols(sort)).select("doc_id", "score")
+        return scored.orderBy(*self._sort_cols(sort)).select(*keep)
 
     # -- helpers -----------------------------------------------------------
 

@@ -133,8 +133,10 @@ def _seed_threshold(blocks, m, key, avgdl, n_docs, k, k1, b) -> float:
         return 0.0
     import numpy as np
 
+    # driver-side decode is bounded: skip seeding from huge lists (a
+    # high-df term has low idf and is rarely the max-UB term anyway)
     rows = blocks.where(F.col("term") == key).select("tfs", "dls").collect() \
-        if m["df"] <= 2_000_000 else []
+        if m["df"] <= 500_000 else []
     if not rows:
         return 0.0
     from searchlite_spark.index.codec import decode_varints

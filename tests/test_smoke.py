@@ -50,8 +50,10 @@ def test_bm25_value_exact(searcher, tiny_index):
     n, df = 3.0, 2.0
     avgdl = 8.0
     idf = max(math.log((n - df + 0.5) / (df + 0.5)), 0.0) + 1.0
+    from searchlite_spark.analysis.tokenizers import default_tokenize
+
     for h in res["hits"]:
-        dl = float(h["fields"]["dl_body"])
+        dl = float(len(default_tokenize(h["fields"]["body"])))
         tf = 1.0
         denom = tf + 0.9 * (1 - 0.4 + 0.4 * dl / avgdl)
         expect = idf * tf * 1.9 / max(denom, 1e-6)
