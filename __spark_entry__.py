@@ -209,6 +209,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "n_chars")
         )
 
+    def dis_max_tie(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": {
+                    "type": "dis_max",
+                    "tie_breaker": 0.3,
+                    "queries": [
+                        {"type": "term", "field": "text", "value": "merge"},
+                        {"type": "term", "field": "text", "value": "sort"},
+                    ],
+                }
+            },
+        )
+
+    def bool_should_msm(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": {
+                    "type": "bool",
+                    "should": [
+                        {"type": "term", "field": "text", "value": "vector"},
+                        {"type": "term", "field": "text", "value": "batch"},
+                        {"type": "term", "field": "text", "value": "join"},
+                    ],
+                    "minimum_should_match": 2,
+                }
+            },
+        )
+
+    def wildcard_match(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {"query": {"type": "wildcard", "field": "text", "value": "s?an"}},
+        )
+
+    def regex_match(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            # "qu.*y" analyzes to 2 tokens -> raw-pattern fallback
+            # (reader.rs:1101-1116); a single-token pattern like "qu.*"
+            # would degrade to literal "qu" in the reference too
+            {"query": {"type": "regex", "field": "text", "value": "qu.*y"}},
+        )
+
+    def fuzzy_match(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {"query": "rows", "fuzzy": {"max_edits": 1}},
+        )
+
+    Q.update(
+        dis_max_tie=dis_max_tie,
+        bool_should_msm=bool_should_msm,
+        wildcard_match=wildcard_match,
+        regex_match=regex_match,
+        fuzzy_match=fuzzy_match,
+    )
+
     Q.update(
         bm25_topk=bm25_topk,
         bm25_single_term=bm25_single_term,
@@ -286,6 +346,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _matched_docs(m, s.docs, ["n_chars"]), "n_chars", [25.0, 50.0, 75.0, 95.0]
         )
         return out.select("percent", F.round("value", 4).alias("value"))
+
+    def agg_extended_stats(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, stats_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "group"})
+        out = stats_agg(_matched_docs(m, s.docs, ["n_chars"]), "n_chars", True)
+        return out.select(
+            "count", "min", "max", "sum",
+            F.round("avg", 4).alias("avg"),
+            F.round("variance", 4).alias("variance"),
+            F.round("std_deviation", 4).alias("std_deviation"),
+        )
+
+    def agg_composite(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, composite_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "key"})
+        return composite_agg(
+            _matched_docs(m, s.docs, ["lang", "n_chars"]),
+            [{"terms": {"name": "l", "field": "lang"}},
+             {"histogram": {"name": "h", "field": "n_chars", "interval": 150.0}}],
+            size=12,
+        )
+
+    def events_date_histogram(spark, sf_dir):
+        """date_histogram (fixed 1d, the reference's ceil quirk) over
+        the events stream table."""
+        from searchlite_spark.query.aggs import date_histogram_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        md = ev.select(
+            F.col("event_id").alias("doc_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+            .cast("long")
+            .alias("ts_ms"),
+        )
+        return date_histogram_agg(md, "ts_ms", "1d")
+
+    def events_type_daily(spark, sf_dir):
+        """Windowed per-type daily counts + running total (window fn)."""
+        from pyspark.sql import Window as W
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        daily = (
+            ev.groupBy(
+                "event_type", F.date_trunc("day", "ts").alias("day")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("value_sum"),
+            )
+        )
+        w = W.partitionBy("event_type").orderBy("day")
+        return daily.withColumn(
+            "running_n", F.sum("n").over(w)
+        ).orderBy("event_type", "day")
+
+    def events_top_users(spark, sf_dir):
+        """Top-3 users per event type by total value (window top-k)."""
+        from pyspark.sql import Window as W
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        per_user = ev.groupBy("event_type", "user_id").agg(
+            F.round(F.sum("value"), 4).alias("total_value")
+        )
+        w = W.partitionBy("event_type").orderBy(
+            F.col("total_value").desc(), F.col("user_id").asc()
+        )
+        return (
+            per_user.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .orderBy("event_type", "rank")
+        )
+
+    Q.update(
+        agg_extended_stats=agg_extended_stats,
+        agg_composite=agg_composite,
+        events_date_histogram=events_date_histogram,
+        events_type_daily=events_type_daily,
+        events_top_users=events_top_users,
+    )
 
     Q.update(
         agg_terms_lang=agg_terms_lang,
@@ -416,6 +559,100 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
+    O["dis_max_tie"] = (
+        _bm25_cte(["merge", "sort"])
+        + """, leaf AS (
+  SELECT tok.doc_id,
+    SUM(CASE WHEN tok.tok = 'merge' THEN
+      (greatest(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5)), 0.0) + 1.0)
+      * (tok.tf * (0.9 + 1.0))
+      / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+      ELSE 0 END) AS s1,
+    SUM(CASE WHEN tok.tok = 'sort' THEN
+      (greatest(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5)), 0.0) + 1.0)
+      * (tok.tf * (0.9 + 1.0))
+      / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+      ELSE 0 END) AS s2
+  FROM tok JOIN q ON tok.tok = q.tok JOIN dfq ON tok.tok = dfq.tok
+  JOIN dl ON tok.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tok.doc_id
+)
+SELECT doc_id,
+       round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 4) AS score_r
+FROM leaf
+ORDER BY greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)) DESC, doc_id ASC
+LIMIT 10"""
+    )
+    O["bool_should_msm"] = (
+        _bm25_cte(["vector", "batch", "join"])
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " WHERE matched_terms >= 2 ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+    O["wildcard_match"] = """
+WITH tok AS (
+  SELECT d.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' GROUP BY d.doc_id, t.tok
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         CAST(CAST((SELECT sum(dl) FROM dl) AS FLOAT)
+              / CAST((SELECT count(*) FROM documents) AS FLOAT) AS DOUBLE) AS avgdl
+),
+q AS (SELECT DISTINCT tok FROM tok WHERE tok LIKE 's_an'),
+dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tok WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+scored AS (
+  SELECT tok.doc_id,
+         SUM( (greatest(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5)), 0.0) + 1.0)
+              * (tok.tf * (0.9 + 1.0))
+              / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+         ) AS score
+  FROM tok JOIN q ON tok.tok = q.tok JOIN dfq ON tok.tok = dfq.tok
+  JOIN dl ON tok.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    O["regex_match"] = O["wildcard_match"].replace(
+        "tok LIKE 's_an'", "regexp_matches(tok, '^(?:qu.*y)$')"
+    )
+    O["fuzzy_match"] = """
+WITH tok AS (
+  SELECT d.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> '' GROUP BY d.doc_id, t.tok
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         CAST(CAST((SELECT sum(dl) FROM dl) AS FLOAT)
+              / CAST((SELECT count(*) FROM documents) AS FLOAT) AS DOUBLE) AS avgdl
+),
+-- exact term 'rows' (weight 1) + prefix-'r' dictionary terms within
+-- Levenshtein 1 (weight 1/(dist+1)) — reader.rs:1394-1465
+q AS (
+  SELECT 'rows' AS tok, 1.0 AS w
+  UNION ALL
+  SELECT tok, 1.0 / (levenshtein('rows', tok) + 1.0)
+  FROM (SELECT DISTINCT tok FROM tok WHERE tok LIKE 'r%' AND tok <> 'rows'
+        AND abs(length(tok) - 4) <= 1)
+  WHERE levenshtein('rows', tok) = 1
+),
+dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tok WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+scored AS (
+  SELECT tok.doc_id,
+         SUM( q.w * (greatest(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5)), 0.0) + 1.0)
+              * (tok.tf * (0.9 + 1.0))
+              / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+         ) AS score
+  FROM tok JOIN q ON tok.tok = q.tok JOIN dfq ON tok.tok = dfq.tok
+  JOIN dl ON tok.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
     # prefix: every distinct token starting with 's' is an expansion
     O["prefix_expand"] = """
 WITH tok AS (
@@ -489,6 +726,50 @@ SELECT CAST(25.0 AS DOUBLE) AS percent, round(quantile_cont(n_chars, 0.25), 4) A
 UNION ALL SELECT CAST(50.0 AS DOUBLE), round(quantile_cont(n_chars, 0.50), 4) FROM m
 UNION ALL SELECT CAST(75.0 AS DOUBLE), round(quantile_cont(n_chars, 0.75), 4) FROM m
 UNION ALL SELECT CAST(95.0 AS DOUBLE), round(quantile_cont(n_chars, 0.95), 4) FROM m"""
+
+    O["agg_extended_stats"] = """
+WITH m AS (SELECT n_chars FROM documents WHERE (' ' || text || ' ') LIKE '% group %')
+SELECT count(n_chars)::BIGINT AS count,
+       CAST(min(n_chars) AS DOUBLE) AS min,
+       CAST(max(n_chars) AS DOUBLE) AS max,
+       CAST(sum(n_chars) AS DOUBLE) AS sum,
+       round(avg(n_chars), 4) AS avg,
+       round(var_pop(n_chars), 4) AS variance,
+       round(stddev_pop(n_chars), 4) AS std_deviation
+FROM m"""
+    O["agg_composite"] = """
+SELECT lang AS l,
+       CAST(floor(n_chars / 150.0) * 150.0 AS DOUBLE) AS h,
+       count(*)::BIGINT AS doc_count
+FROM documents WHERE (' ' || text || ' ') LIKE '% key %'
+GROUP BY 1, 2 ORDER BY l ASC, h ASC LIMIT 12"""
+    O["events_date_histogram"] = """
+WITH e AS (SELECT epoch_ms(ts)::BIGINT AS ts_ms FROM events)
+SELECT CAST(ceil(ts_ms / 86400000.0) AS BIGINT) * 86400000 AS key,
+       count(*)::BIGINT AS doc_count
+FROM e GROUP BY 1 ORDER BY key"""
+    O["events_type_daily"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n, value_sum,
+       sum(n) OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS running_n
+FROM daily ORDER BY event_type, day"""
+    O["events_top_users"] = """
+WITH per_user AS (
+  SELECT event_type, user_id, round(sum(value), 4) AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id ASC) AS rank
+  FROM per_user
+)
+SELECT event_type, user_id, total_value, rank::INT AS rank
+FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
 
     # ---- pipeline ops ----
     O["dedup_exact_survivors"] = """
