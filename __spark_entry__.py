@@ -58,6 +58,37 @@ def _searcher(spark: SparkSession, sf_dir: str):
     return s
 
 
+def _searcher_mm(spark: SparkSession, sf_dir: str):
+    """Second index with TWO text fields (text + source-as-text) for
+    multi_match best_fields / most_fields parity queries."""
+    from searchlite_spark.index import (
+        IndexSchema,
+        KeywordField,
+        NumericField,
+        TextField,
+        build_index,
+    )
+    from searchlite_spark.index.catalog import Index
+    from searchlite_spark.query import Searcher
+
+    key = sf_dir + "#mm"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    out = _index_dir(sf_dir) + "_mm"
+    schema = IndexSchema(
+        doc_id_field="doc_id",
+        text_fields=(TextField("text"), TextField("source")),
+        keyword_fields=(KeywordField("lang"),),
+        numeric_fields=(NumericField("n_chars"),),
+    )
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(spark, corpus, schema, out, id_mode="column")
+    s = Searcher(Index(out, spark))
+    _SEARCHERS[key] = s
+    return s
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -281,6 +312,232 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         match_sorted=match_sorted,
     )
 
+    # ---- block-max WAND/BMW kernel (SURVEY §2.5; wand.rs:659-903) ----
+    # Same oracle SQL as the brute path: the kernel must be
+    # rank-and-score identical (reference tests/pruning.rs:44-104).
+    def bm25_topk_bmw(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        out = s.topk({"query": "spark query window", "execution": "bmw"}, 10)
+        assert s.last_execution == "bmw", "kernel path not taken"
+        return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    def bm25_topk_wand(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        out = s.topk({"query": "spark query window", "execution": "wand"}, 10)
+        assert s.last_execution == "wand", "kernel path not taken"
+        return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    def bm25_single_term_bmw(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        out = s.topk(
+            {
+                "query": {"type": "term", "field": "text", "value": "vector"},
+                "execution": "bmw",
+            },
+            10,
+        )
+        assert s.last_execution == "bmw", "kernel path not taken"
+        return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    Q.update(
+        bm25_topk_bmw=bm25_topk_bmw,
+        bm25_topk_wand=bm25_topk_wand,
+        bm25_single_term_bmw=bm25_single_term_bmw,
+    )
+
+    # ---- scoring long tail (SURVEY §2.3; score_functions.rs, script.rs) ----
+    def function_score_fvf(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": {
+                    "type": "function_score",
+                    "query": "spark",
+                    "functions": [
+                        {
+                            "type": "field_value_factor",
+                            "field": "n_chars",
+                            "factor": 0.01,
+                            "modifier": "log1p",
+                        }
+                    ],
+                    "score_mode": "sum",
+                    "boost_mode": "multiply",
+                }
+            },
+        )
+
+    def script_score_q(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": {
+                    "type": "script_score",
+                    "query": "spark",
+                    "script": "_score * 2 + n_chars / 1000",
+                }
+            },
+        )
+
+    def constant_score_filter(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": {
+                    "type": "constant_score",
+                    "filter": {"KeywordEq": {"field": "lang", "value": "en"}},
+                    "boost": 1.5,
+                }
+            },
+        )
+
+    def rank_feature_nchars(spark, sf_dir):
+        return _topk(
+            _searcher(spark, sf_dir),
+            {
+                "query": {
+                    "type": "rank_feature",
+                    "field": "n_chars",
+                    "modifier": "log1p",
+                }
+            },
+        )
+
+    def multi_match_best(spark, sf_dir):
+        return _topk(
+            _searcher_mm(spark, sf_dir),
+            {
+                "query": {
+                    "type": "multi_match",
+                    "query": "spark src3",
+                    "fields": ["text", "source^2"],
+                    "match_type": "best_fields",
+                    "tie_breaker": 0.2,
+                }
+            },
+        )
+
+    def multi_match_most(spark, sf_dir):
+        return _topk(
+            _searcher_mm(spark, sf_dir),
+            {
+                "query": {
+                    "type": "multi_match",
+                    "query": "spark src3",
+                    "fields": ["text", "source^2"],
+                    "match_type": "most_fields",
+                }
+            },
+        )
+
+    def rescore_window(spark, sf_dir):
+        """Rescore top-30 base hits with a second query (total mode);
+        window block re-sorts ahead of the rest (reader.rs:3238-3398)."""
+        from searchlite_spark.query import postprocess as PP
+
+        s = _searcher(spark, sf_dir)
+        scored = s.match_set({"query": "spark"})
+        ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        combined = PP.rescore_hits(
+            s, ordered,
+            {"window_size": 30, "query": "window", "score_mode": "total"},
+            10,
+        )
+        out = (
+            combined.orderBy(F.desc("_win"), F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    def collapse_lang(spark, sf_dir):
+        """Collapse by lang: best hit per group under the main sort
+        (reader.rs:3499-3595)."""
+        from searchlite_spark.query import postprocess as PP
+
+        s = _searcher(spark, sf_dir)
+        scored = s.match_set({"query": "merge"})
+        reps, _inner = PP.collapse_hits(s, scored, "lang", s._sort_cols(None))
+        return (
+            reps.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(5)
+            .select(
+                F.col("_ckey").alias("lang"),
+                "doc_id",
+                F.round("score", 4).alias("score_r"),
+            )
+        )
+
+    def top_hits_per_lang(spark, sf_dir):
+        from searchlite_spark.query.aggs import _matched_docs, top_hits_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "table"})
+        md = _matched_docs(m, s.docs, ["lang", "n_chars"])
+        out = top_hits_agg(md, "lang", 2, "n_chars", ascending=False)
+        return out.select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")
+
+    def significant_terms_source(spark, sf_dir):
+        from searchlite_spark.query.aggs import significant_terms_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "spark"})
+        out = significant_terms_agg(m, s.docs, "source", size=5)
+        return out.select(
+            "key", "fg", "bg", F.round("score", 4).alias("score_r")
+        )
+
+    def nested_filter_same_obj(spark, sf_dir):
+        """Sibling Nested filters on one path inside an And must hold in
+        a SINGLE object (query/filters.rs:52-82).  The props array is
+        built so same-object vs independent semantics give different
+        answers: only the lang object carries k=lang."""
+        from searchlite_spark.query.filters import compile_filters
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.array(
+                F.struct(F.col("lang").alias("k"), F.col("n_chars").alias("v")),
+                F.struct(
+                    F.col("source").alias("k"),
+                    (F.col("n_chars") * 2).alias("v"),
+                ),
+            ).alias("props"),
+        )
+        flt = [
+            {"Nested": {"path": "props",
+                        "filter": {"KeywordEq": {"field": "k", "value": "en"}}}},
+            {"Nested": {"path": "props",
+                        "filter": {"I64Range": {"field": "v", "min": 100, "max": 300}}}},
+        ]
+        return docs.where(compile_filters(docs, flt)).select("doc_id").orderBy(
+            "doc_id"
+        )
+
+    def suggest_completion_s(spark, sf_dir):
+        from searchlite_spark.query import postprocess as PP
+
+        s = _searcher(spark, sf_dir)
+        opts = PP.suggest_completion(s, "text", "s", size=5)
+        return spark.createDataFrame(
+            [(o["text"], o["doc_freq"]) for o in opts],
+            "text STRING, doc_freq LONG",
+        )
+
+    Q.update(
+        function_score_fvf=function_score_fvf,
+        script_score=script_score_q,
+        constant_score_filter=constant_score_filter,
+        rank_feature_nchars=rank_feature_nchars,
+        multi_match_best=multi_match_best,
+        multi_match_most=multi_match_most,
+        rescore_window=rescore_window,
+        collapse_lang=collapse_lang,
+        top_hits_per_lang=top_hits_per_lang,
+        significant_terms_source=significant_terms_source,
+        nested_filter_same_obj=nested_filter_same_obj,
+        suggest_completion_s=suggest_completion_s,
+    )
+
     # ---- aggregations (SURVEY §2.6) ----
     def agg_terms_lang(spark, sf_dir):
         from searchlite_spark.query.aggs import _matched_docs, terms_agg
@@ -422,12 +679,148 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("event_type", "rank")
         )
 
+    def _events_ms(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.select(
+            F.col("event_id").alias("doc_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+            .cast("long")
+            .alias("ts_ms"),
+            "value",
+        )
+
+    def events_derivative(spark, sf_dir):
+        """derivative pipeline over daily buckets (aggs/mod.rs:2491-)."""
+        from searchlite_spark.query.aggs import date_histogram_agg, derivative
+
+        md = _events_ms(spark, sf_dir)
+        daily = date_histogram_agg(md, "ts_ms", "1d")
+        return derivative(daily, "doc_count", "key").orderBy("key")
+
+    def events_moving_avg(spark, sf_dir):
+        from searchlite_spark.query.aggs import date_histogram_agg, moving_avg
+
+        md = _events_ms(spark, sf_dir)
+        daily = date_histogram_agg(md, "ts_ms", "1d")
+        out = moving_avg(daily, "doc_count", "key", 7)
+        return out.select(
+            "key", "doc_count", F.round("moving_avg", 4).alias("moving_avg")
+        ).orderBy("key")
+
+    def events_bucket_script(spark, sf_dir):
+        """histogram bucket agg + sum sub-agg + bucket_script pipeline
+        through the response-shaped runner (aggs/mod.rs:2909-3116)."""
+        from searchlite_spark.query.aggs import run_aggregations
+
+        ev = _events_ms(spark, sf_dir).select(
+            "doc_id",
+            F.floor(F.col("ts_ms") / F.lit(86_400_000)).cast("double").alias("day_idx"),
+            "value",
+        )
+        out = run_aggregations(
+            ev.select("doc_id"),
+            ev,
+            {
+                "daily": {
+                    "histogram": {
+                        "field": "day_idx",
+                        "interval": 1.0,
+                        "aggs": {"vsum": {"sum": {"field": "value"}}},
+                    }
+                },
+                "ratio": {
+                    "bucket_script": {
+                        "buckets_path": {"s": "daily>vsum", "c": "daily>_count"},
+                        "script": "s / c",
+                    }
+                },
+            },
+        )
+        rows = [
+            (
+                float(b["key"]),
+                int(b["doc_count"]),
+                round(b["vsum"]["value"], 4),
+                round(b["ratio"]["value"], 4),
+            )
+            for b in out["daily"]["buckets"]
+        ]
+        return spark.createDataFrame(
+            rows, "key DOUBLE, doc_count LONG, vsum DOUBLE, ratio DOUBLE"
+        )
+
+    def events_bucket_stats(spark, sf_dir):
+        """avg_bucket + sum_bucket sibling pipelines (aggs/mod.rs:2750-)."""
+        from searchlite_spark.query.aggs import run_aggregations
+
+        ev = _events_ms(spark, sf_dir).select(
+            "doc_id",
+            F.floor(F.col("ts_ms") / F.lit(86_400_000)).cast("double").alias("day_idx"),
+            "value",
+        )
+        out = run_aggregations(
+            ev.select("doc_id"),
+            ev,
+            {
+                "daily": {
+                    "histogram": {
+                        "field": "day_idx",
+                        "interval": 1.0,
+                        "aggs": {"vsum": {"sum": {"field": "value"}}},
+                    }
+                },
+                "mean_v": {"avg_bucket": {"buckets_path": "daily>vsum"}},
+                "total_v": {"sum_bucket": {"buckets_path": "daily>vsum"}},
+            },
+        )
+        return spark.createDataFrame(
+            [(round(out["mean_v"]["value"], 4), round(out["total_v"]["value"], 4))],
+            "mean_v DOUBLE, total_v DOUBLE",
+        )
+
+    def agg_date_range_events(spark, sf_dir):
+        from searchlite_spark.query.aggs import range_agg
+
+        md = _events_ms(spark, sf_dir)
+        jan15 = 1705276800000  # 2024-01-15T00:00:00Z
+        feb01 = 1706745600000  # 2024-02-01T00:00:00Z
+        return range_agg(
+            md,
+            "ts_ms",
+            [
+                {"key": "early", "to": jan15 - 1},
+                {"key": "mid", "from": jan15, "to": feb01 - 1},
+                {"key": "late", "from": feb01},
+            ],
+        )
+
+    def percentile_ranks_nchars(spark, sf_dir):
+        from searchlite_spark.query.aggs import run_aggregations
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "scan"})
+        out = run_aggregations(
+            m, s.docs,
+            {"pr": {"percentile_ranks": {"field": "n_chars",
+                                         "values": [100, 200, 300]}}},
+        )
+        rows = [
+            (float(k), round(v, 4)) for k, v in out["pr"]["values"].items()
+        ]
+        return spark.createDataFrame(rows, "value DOUBLE, rank DOUBLE")
+
     Q.update(
         agg_extended_stats=agg_extended_stats,
         agg_composite=agg_composite,
         events_date_histogram=events_date_histogram,
         events_type_daily=events_type_daily,
         events_top_users=events_top_users,
+        events_derivative=events_derivative,
+        events_moving_avg=events_moving_avg,
+        events_bucket_script=events_bucket_script,
+        events_bucket_stats=events_bucket_stats,
+        agg_date_range_events=agg_date_range_events,
+        percentile_ranks_nchars=percentile_ranks_nchars,
     )
 
     Q.update(
@@ -538,6 +931,155 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
+    # kernel paths must be rank-and-score identical to brute
+    # (tests/pruning.rs:44-104) -> same oracle
+    O["bm25_topk_bmw"] = O["bm25_topk"]
+    O["bm25_topk_wand"] = O["bm25_topk"]
+    O["bm25_single_term_bmw"] = O["bm25_single_term"]
+
+    # ---- scoring long tail ----
+    O["function_score_fvf"] = (
+        _bm25_cte(["spark"])
+        + """SELECT s.doc_id,
+       round(s.score * ln(1.0 + d.n_chars * 0.01), 4) AS score_r
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.score * ln(1.0 + d.n_chars * 0.01) DESC, s.doc_id ASC LIMIT 10"""
+    )
+    O["script_score"] = (
+        _bm25_cte(["spark"])
+        + """SELECT s.doc_id,
+       round(s.score * 2 + d.n_chars / 1000.0, 4) AS score_r
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.score * 2 + d.n_chars / 1000.0 DESC, s.doc_id ASC LIMIT 10"""
+    )
+    O["constant_score_filter"] = """
+SELECT doc_id, CAST(1.5 AS DOUBLE) AS score_r FROM documents
+WHERE lower(lang) = 'en' ORDER BY doc_id ASC LIMIT 10"""
+    O["rank_feature_nchars"] = """
+SELECT doc_id, round(ln(1.0 + n_chars), 4) AS score_r FROM documents
+ORDER BY ln(1.0 + n_chars) DESC, doc_id ASC LIMIT 10"""
+
+    # multi_match over two text fields (text, source^2); source docs
+    # have exactly one token (dl=1), avgdl computed float32 like the
+    # engine (planner.rs:367-460 scoring shapes)
+    _mm_src = """
+, src AS (
+  SELECT d.doc_id,
+         2.0 * (greatest(ln((st.n - sdf.df + 0.5)/(sdf.df + 0.5)), 0.0) + 1.0)
+         * (1.0 * (0.9 + 1.0))
+         / greatest(1.0 + 0.9 * (1.0 - 0.4 + 0.4 * (1.0 / sav.avgdl)), 1e-6)
+           AS score
+  FROM documents d
+  CROSS JOIN st
+  CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM documents
+              WHERE source = 'src3') sdf
+  CROSS JOIN (SELECT CAST(
+      CAST((SELECT count(*) FROM documents WHERE source IS NOT NULL) AS FLOAT)
+      / CAST((SELECT count(*) FROM documents) AS FLOAT) AS DOUBLE) AS avgdl) sav
+  WHERE d.source = 'src3'
+),
+comb AS (
+  SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+         COALESCE(t.score, 0.0) AS s1, COALESCE(s.score, 0.0) AS s2
+  FROM scored t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
+)
+"""
+    O["multi_match_best"] = (
+        _bm25_cte(["spark", "src3"])
+        + _mm_src
+        + """SELECT doc_id,
+       round(greatest(s1, s2) + 0.2 * (s1 + s2 - greatest(s1, s2)), 4) AS score_r
+FROM comb
+ORDER BY greatest(s1, s2) + 0.2 * (s1 + s2 - greatest(s1, s2)) DESC, doc_id ASC
+LIMIT 10"""
+    )
+    O["multi_match_most"] = (
+        _bm25_cte(["spark", "src3"])
+        + _mm_src
+        + """SELECT doc_id, round(s1 + s2, 4) AS score_r FROM comb
+ORDER BY s1 + s2 DESC, doc_id ASC LIMIT 10"""
+    )
+
+    O["rescore_window"] = (
+        _bm25_cte(["spark"])
+        + """, base AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+),
+win AS (SELECT doc_id, score FROM base WHERE rn <= 30),
+q2(tok) AS (VALUES ('window')),
+dfq2 AS (SELECT tok, count(*)::DOUBLE AS df FROM tok
+         WHERE tok IN (SELECT tok FROM q2) GROUP BY tok),
+scored2 AS (
+  SELECT tok.doc_id,
+         SUM( (greatest(ln((st.n - dfq2.df + 0.5)/(dfq2.df + 0.5)), 0.0) + 1.0)
+              * (tok.tf * (0.9 + 1.0))
+              / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+         ) AS score
+  FROM tok JOIN q2 ON tok.tok = q2.tok JOIN dfq2 ON tok.tok = dfq2.tok
+  JOIN dl ON tok.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tok.doc_id
+),
+resc AS (
+  SELECT w.doc_id, w.score + COALESCE(s2.score, 0.0) AS score
+  FROM win w LEFT JOIN scored2 s2 ON w.doc_id = s2.doc_id
+)
+SELECT doc_id, round(score, 4) AS score_r FROM resc
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
+
+    O["collapse_lang"] = (
+        _bm25_cte(["merge"])
+        + """, ranked AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IS NOT NULL
+)
+SELECT lang, doc_id, round(score, 4) AS score_r FROM ranked
+WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 5"""
+    )
+
+    O["top_hits_per_lang"] = """
+WITH m AS (SELECT doc_id, lang, n_chars FROM documents
+           WHERE (' ' || text || ' ') LIKE '% table %'),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM m
+)
+SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 2 ORDER BY lang, doc_id"""
+
+    O["significant_terms_source"] = """
+WITH m AS (SELECT doc_id, source FROM documents
+           WHERE (' ' || text || ' ') LIKE '% spark %'),
+fg AS (SELECT source AS key, count(*)::BIGINT AS fg FROM m
+       WHERE source IS NOT NULL GROUP BY source),
+bg AS (SELECT source AS key, count(*)::BIGINT AS bg FROM documents
+       WHERE source IS NOT NULL GROUP BY source),
+tot AS (SELECT (SELECT count(*) FROM m)::DOUBLE AS fgt,
+               (SELECT count(*) FROM documents)::DOUBLE AS bgt)
+SELECT fg.key, fg.fg, bg.bg,
+       round((fg.fg / tot.fgt) / (bg.bg / tot.bgt), 4) AS score_r
+FROM fg JOIN bg USING (key) CROSS JOIN tot
+ORDER BY (fg.fg / tot.fgt) / (bg.bg / tot.bgt) DESC, fg.key ASC LIMIT 5"""
+
+    # same-object Nested semantics: only the lang object carries k=lang,
+    # so the And reduces to lang='en' AND n_chars in range
+    O["nested_filter_same_obj"] = """
+SELECT doc_id FROM documents
+WHERE lower(lang) = 'en' AND n_chars BETWEEN 100 AND 300 ORDER BY doc_id"""
+
+    O["suggest_completion_s"] = """
+WITH tok AS (SELECT DISTINCT d.doc_id, t.tok
+             FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+             WHERE t.tok <> ''),
+df AS (SELECT tok AS text, count(*)::BIGINT AS doc_freq FROM tok
+       WHERE tok LIKE 's%' GROUP BY tok)
+SELECT text, doc_freq FROM df ORDER BY doc_freq DESC, text ASC LIMIT 5"""
     O["bm25_bool_must"] = (
         _bm25_cte(["window", "scan"])
         + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
@@ -757,6 +1299,68 @@ WITH daily AS (
 SELECT event_type, day, n, value_sum,
        sum(n) OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS running_n
 FROM daily ORDER BY event_type, day"""
+    O["events_derivative"] = """
+WITH e AS (SELECT epoch_ms(ts)::BIGINT AS ts_ms FROM events),
+daily AS (
+  SELECT CAST(ceil(ts_ms / 86400000.0) AS BIGINT) * 86400000 AS key,
+         count(*)::BIGINT AS doc_count
+  FROM e GROUP BY 1
+)
+SELECT key, doc_count,
+       doc_count - lag(doc_count) OVER (ORDER BY key) AS derivative
+FROM daily ORDER BY key"""
+    O["events_moving_avg"] = """
+WITH e AS (SELECT epoch_ms(ts)::BIGINT AS ts_ms FROM events),
+daily AS (
+  SELECT CAST(ceil(ts_ms / 86400000.0) AS BIGINT) * 86400000 AS key,
+         count(*)::BIGINT AS doc_count
+  FROM e GROUP BY 1
+)
+SELECT key, doc_count,
+       round(avg(doc_count) OVER (ORDER BY key
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM daily ORDER BY key"""
+    O["events_bucket_script"] = """
+WITH e AS (SELECT floor(epoch_ms(ts) / 86400000.0) AS day_idx, value FROM events),
+daily AS (
+  SELECT CAST(floor(day_idx / 1.0) * 1.0 AS DOUBLE) AS key,
+         count(*)::BIGINT AS doc_count, sum(value)::DOUBLE AS vsum
+  FROM e GROUP BY 1
+)
+SELECT key, doc_count, round(vsum, 4) AS vsum,
+       round(vsum / doc_count, 4) AS ratio
+FROM daily ORDER BY key"""
+    O["events_bucket_stats"] = """
+WITH e AS (SELECT floor(epoch_ms(ts) / 86400000.0) AS day_idx, value FROM events),
+daily AS (
+  SELECT CAST(floor(day_idx / 1.0) * 1.0 AS DOUBLE) AS key,
+         sum(value)::DOUBLE AS vsum
+  FROM e GROUP BY 1
+)
+SELECT round(avg(vsum), 4) AS mean_v, round(sum(vsum), 4) AS total_v FROM daily"""
+    O["agg_date_range_events"] = """
+WITH e AS (SELECT epoch_ms(ts)::BIGINT AS ts_ms FROM events)
+SELECT 'early' AS key,
+       (SELECT count(*) FROM e WHERE ts_ms <= 1705276799999)::BIGINT AS doc_count
+UNION ALL SELECT 'mid',
+       (SELECT count(*) FROM e
+        WHERE ts_ms BETWEEN 1705276800000 AND 1706745599999)::BIGINT
+UNION ALL SELECT 'late',
+       (SELECT count(*) FROM e WHERE ts_ms >= 1706745600000)::BIGINT"""
+    O["percentile_ranks_nchars"] = """
+WITH m AS (SELECT n_chars FROM documents
+           WHERE (' ' || text || ' ') LIKE '% scan %'),
+t AS (SELECT count(*)::DOUBLE AS total FROM m)
+SELECT CAST(100.0 AS DOUBLE) AS value,
+       round(100.0 * (SELECT count(*) FROM m WHERE n_chars <= 100) / t.total, 4)
+         AS rank FROM t
+UNION ALL SELECT CAST(200.0 AS DOUBLE),
+       round(100.0 * (SELECT count(*) FROM m WHERE n_chars <= 200) / t.total, 4)
+       FROM t
+UNION ALL SELECT CAST(300.0 AS DOUBLE),
+       round(100.0 * (SELECT count(*) FROM m WHERE n_chars <= 300) / t.total, 4)
+       FROM t"""
+
     O["events_top_users"] = """
 WITH per_user AS (
   SELECT event_type, user_id, round(sum(value), 4) AS total_value

@@ -174,6 +174,139 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     return docs.select(*cols).mapInPandas(emit, POSTING_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# JVM-side tokenize path (plain default analyzer)
+#
+# The Arrow-batched Python tokenizer above calls ``analyzer(raw)`` per
+# document string — at 100 TB that per-string Python is ~all of build
+# cost.  For the DEFAULT analyzer (alnum-run split + ASCII-only lower,
+# tokenizer.rs:7-29) the same tokens/positions are expressible as pure
+# column algebra (split/filter/translate/posexplode), so tokenization
+# stays inside whole-stage codegen and the per-(doc,term) aggregation
+# happens AFTER the (term, doc_id) range shuffle as a vectorized
+# sorted-run pack — one shuffle total, zero per-string Python.
+
+# Rust char::is_alphanumeric == Alphabetic | Nd | Nl | No; Java exposes
+# the same derived Alphabetic property as \p{IsAlphabetic}.
+_SQL_SPLIT_PATTERN = r"[^\p{IsAlphabetic}\p{Nd}\p{Nl}\p{No}]+"
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+TOKEN_ROW_SCHEMA = "doc_id LONG, field STRING, term STRING, pos INT, dl INT"
+
+
+def sql_tokenize_eligible(docs: DataFrame, schema: IndexSchema) -> bool:
+    """True when every text field uses the plain default analyzer on a
+    scalar string column (custom filter chains and multi-valued text
+    keep the Python path, which implements the position-gap rule)."""
+    for t in schema.text_fields:
+        a = schema.index_analyzer_for(t.name)
+        if a.tokenizer != "default" or a.filters:
+            return False
+        if isinstance(docs.schema[t.name].dataType, T.ArrayType):
+            return False
+    return True
+
+
+def tokenize_token_rows_sql(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+    """docs -> one row per token (doc_id, field, term, pos, dl), all
+    column expressions (no Python).  Keywords are ASCII-lowercased and
+    de-duplicated per doc at position 0 (segment.rs:700-723)."""
+    frames: list[DataFrame] = []
+    for t in schema.text_fields:
+        toks = F.filter(
+            F.split(F.col(t.name), _SQL_SPLIT_PATTERN, -1),
+            lambda x: x != F.lit(""),
+        )
+        lowered = F.transform(toks, lambda x: F.translate(x, _UPPER, _LOWER))
+        base = docs.select("doc_id", lowered.alias("_toks")).select(
+            "doc_id",
+            F.size("_toks").cast("int").alias("dl"),
+            F.posexplode("_toks").alias("pos", "_tok"),
+        )
+        frames.append(
+            base.select(
+                "doc_id",
+                F.lit(t.name).alias("field"),
+                F.concat(F.lit(t.name + ":"), F.col("_tok")).alias("term"),
+                F.col("pos").cast("int").alias("pos"),
+                "dl",
+            )
+        )
+    for k in schema.keyword_fields:
+        col = F.col(k.name)
+        if isinstance(docs.schema[k.name].dataType, T.ArrayType):
+            vals = F.array_distinct(
+                F.transform(col, lambda v: F.translate(v.cast("string"), _UPPER, _LOWER))
+            )
+            base = docs.select("doc_id", F.explode(vals).alias("_v"))
+        else:
+            base = docs.select(
+                "doc_id", F.translate(col.cast("string"), _UPPER, _LOWER).alias("_v")
+            )
+        frames.append(
+            base.where(F.col("_v").isNotNull()).select(
+                "doc_id",
+                F.lit(k.name).alias("field"),
+                F.concat(F.lit(k.name + ":"), F.col("_v")).alias("term"),
+                F.lit(0).cast("int").alias("pos"),
+                F.lit(0).cast("int").alias("dl"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _pack_sorted_tokens(batches):
+    """Vectorized sorted-run aggregation: token rows sorted by
+    (term, doc_id, pos) within the partition -> POSTING_SCHEMA rows.
+    Carries the trailing partial run across Arrow batch boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    def flush(pdf):
+        term = pdf["term"].to_numpy()
+        doc = pdf["doc_id"].to_numpy()
+        n = len(pdf)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (term[1:] != term[:-1]) | (doc[1:] != doc[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        pos = pdf["pos"].to_numpy()
+        positions = [pos[s:e].tolist() for s, e in zip(starts, ends)]
+        return pd.DataFrame(
+            {
+                "doc_id": doc[starts],
+                "field": pdf["field"].to_numpy()[starts],
+                "term": term[starts],
+                "tf": (ends - starts).astype("int32"),
+                "positions": positions,
+                "dl": pdf["dl"].to_numpy()[starts].astype("int32"),
+            }
+        )
+
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        term = pdf["term"].to_numpy()
+        doc = pdf["doc_id"].to_numpy()
+        tail_mask = (term == term[-1]) & (doc == doc[-1])
+        nontail = np.flatnonzero(~tail_mask)
+        tail_start = int(nontail[-1]) + 1 if len(nontail) else 0
+        carry = pdf.iloc[tail_start:]
+        body = pdf.iloc[:tail_start]
+        if len(body):
+            yield flush(body)
+    if carry is not None and len(carry):
+        yield flush(carry)
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -214,19 +347,34 @@ def build_index(
     # Persist before the range shuffle: repartitionByRange SAMPLES its
     # input to pick bounds, which would otherwise run the tokenizer
     # twice over the whole corpus.
-    postings_flat = tokenize_postings(docs, schema).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    # Flat postings, globally range-sorted by (term, doc_id).  Range
-    # partitioning splits hot terms across partitions on doc_id; parquet
-    # row-group min/max on `term` gives dictionary-seek pruning.
-    postings_sorted = postings_flat.repartitionByRange(
-        num_partitions, "term", "doc_id"
-    ).sortWithinPartitions("term", "doc_id")
     postings_path = f"{out_dir}/postings"
-    postings_sorted.write.mode("overwrite").parquet(postings_path)
-    postings_flat.unpersist()
+    if sql_tokenize_eligible(docs, schema):
+        # JVM tokenize path: token rows (codegen'd column algebra) ->
+        # one (term, doc_id) range shuffle -> vectorized sorted-run
+        # pack into postings.  No per-string Python anywhere.
+        token_rows = tokenize_token_rows_sql(docs, schema).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        postings_sorted = (
+            token_rows.repartitionByRange(num_partitions, "term", "doc_id")
+            .sortWithinPartitions("term", "doc_id", "pos")
+            .mapInPandas(_pack_sorted_tokens, POSTING_SCHEMA)
+        )
+        postings_sorted.write.mode("overwrite").parquet(postings_path)
+        token_rows.unpersist()
+    else:
+        postings_flat = tokenize_postings(docs, schema).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # Flat postings, globally range-sorted by (term, doc_id).  Range
+        # partitioning splits hot terms across partitions on doc_id;
+        # parquet row-group min/max on `term` gives dictionary-seek
+        # pruning.
+        postings_sorted = postings_flat.repartitionByRange(
+            num_partitions, "term", "doc_id"
+        ).sortWithinPartitions("term", "doc_id")
+        postings_sorted.write.mode("overwrite").parquet(postings_path)
+        postings_flat.unpersist()
     postings = spark.read.parquet(postings_path)
 
     # docs table = the docstore + fast fields (corpus columns + doc_id).
@@ -259,14 +407,17 @@ def build_index(
         .write.mode("overwrite")
         .parquet(terms_path)
     )
+    terms_df = spark.read.parquet(terms_path)
 
     # Global stats (single-segment scope): avgdl = f32(Σ dl) / f32(N)
-    # (segment.rs compute_avg_lengths).  Σ dl per field = Σ tf over that
-    # field's postings — one tiny aggregate over the postings table.
+    # (segment.rs compute_avg_lengths).  Σ dl per field = Σ tf = Σ cf —
+    # aggregated from the (tiny) term dictionary just written, NOT a
+    # second scan of the full postings table (fuses a serial barrier
+    # out of the build's critical path).
     totals_rows = (
-        postings.where(F.col("field").isin(text_names))
+        terms_df.where(F.col("field").isin(text_names))
         .groupBy("field")
-        .agg(F.sum("tf").alias("total"))
+        .agg(F.sum("cf").alias("total"))
         .collect()
         if text_names
         else []

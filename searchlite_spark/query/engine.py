@@ -20,8 +20,6 @@ Tie-break parity: score desc, doc_id asc (wand.rs:16-43,905-926).
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from searchlite_spark.index.catalog import Index
@@ -73,14 +71,23 @@ class Searcher:
         self.spark = index.spark
         self.schema = index.schema
         self.stats = index.stats
-        # docs/terms are reused across every query — keep them warm
-        self.docs = index.docs().persist()
+        # docstore = full stored fields, read lazily with doc_id
+        # pushdown only for the ranked top-k window.  docs = the slim
+        # fast-field projection (everything but the text blobs), the
+        # only part pinned in executor memory — at 100 TB the raw text
+        # dwarfs the metadata and must never be cached whole.
+        self.docstore = index.docs()
+        text_cols = set(self.schema.text_field_names) & set(self.docstore.columns)
+        fast_cols = [c for c in self.docstore.columns if c not in text_cols]
+        self.docs = self.docstore.select(*fast_cols).persist()
         self.postings = index.postings()
         self.terms = index.terms().persist()
         self.blocks = index.blocks() if index.has_blocks() else None
         self.expander = DictionaryExpander(self.terms)
         self.k1 = K1_DEFAULT
         self.b = B_DEFAULT
+        self.last_execution: str | None = None
+        self.last_wand_counters: dict | None = None
 
     # -- public API -----------------------------------------------------
 
@@ -102,7 +109,18 @@ class Searcher:
 
     def _finish_search(self, request, scored, limit, PP):
         sort = request.get("sort")
-        total = scored.count()
+        # track_total_hits: True (default, reference parity) = exact
+        # count; False = skip the full-match-set aggregation entirely;
+        # int N = count capped at N ("at least N" semantics).  At 100 TB
+        # an unconditional exact total makes every `limit 10` query pay
+        # a full scan — this is the opt-out.
+        tth = request.get("track_total_hits", True)
+        if tth is True:
+            total = scored.count()
+        elif tth is False:
+            total = None
+        else:
+            total = scored.limit(int(tth)).count()
         resp = {"total_hits_estimate": total}
         # aggregations stream over EVERY matched doc, pre-collapse
         # (reader.rs: collector runs in accept(); collapse at 2829)
@@ -145,7 +163,7 @@ class Searcher:
         ids = [r["doc_id"] for r in top_rows]
         field_rows = {
             r["doc_id"]: r.asDict()
-            for r in self.docs.where(F.col("doc_id").isin(ids)).collect()
+            for r in self.docstore.where(F.col("doc_id").isin(ids)).collect()
         }
         rows = []
         for r in top_rows:
@@ -292,7 +310,7 @@ class Searcher:
         sort = request.get("sort")
         ordered = self._apply_sort(scored, sort)
         top = ordered.limit(limit)
-        out = top.join(self.docs, "doc_id", "left").orderBy(
+        out = top.join(self.docstore, "doc_id", "left").orderBy(
             *self._sort_cols(sort)
         )
         if with_total:
@@ -308,13 +326,16 @@ class Searcher:
         (default) use the block-max pruned kernel when the query shape
         allows (pure disjunctive BM25 — the reference's default path);
         "bm25" forces the brute-force scorer (wand.rs:398-456
-        strategy selection)."""
+        strategy selection).  ``self.last_execution`` records the path
+        taken ("wand"/"bmw"/"brute") for assertions and profiling."""
         if k is None:
             k = int(request.get("limit", DEFAULT_LIMIT))
         execution = (request.get("execution") or "bmw").lower()
+        self.last_execution = "brute"
         if execution in ("wand", "bmw") and self.index.has_blocks():
             routed = self._try_wand(request, k, execution)
             if routed is not None:
+                self.last_execution = execution
                 return routed
         m = self.match_set(request)
         return (
@@ -323,16 +344,28 @@ class Searcher:
             .select("doc_id", "score")
         )
 
+    def wand_profile(self) -> dict:
+        """Pruning counters from the last kernel-routed topk — valid
+        after the returned DataFrame has been consumed (accumulators
+        update on task completion).  Mirrors the reference's
+        scored_docs / candidates_examined surface (wand.rs:45-50)."""
+        if not self.last_wand_counters:
+            return {}
+        return {name: acc.value for name, acc in self.last_wand_counters.items()}
+
     def _try_wand(self, request: dict, k: int, mode: str) -> DataFrame | None:
         from searchlite_spark.query.wand import wand_topk
 
         plan, builder = build_query_plan(request, self.schema)
         m = plan.matcher
-        if not isinstance(m, P.QueryStringMatcher):
-            return None
-        if m.phrase_groups or m.not_term_groups or not m.term_groups:
-            return None
-        if (m.minimum_should_match or 1) > 1:
+        if isinstance(m, P.QueryStringMatcher):
+            if m.phrase_groups or m.not_term_groups or not m.term_groups:
+                return None
+            if (m.minimum_should_match or 1) > 1:
+                return None
+        elif not isinstance(m, P.TermGroupRef):
+            # a bare scored term/prefix/wildcard group is an OR-of-one —
+            # WAND-eligible; anything else stays on the brute path
             return None
         if plan.root_filter or not P.is_pure_sum(plan.score_expr):
             return None
@@ -365,6 +398,12 @@ class Searcher:
         }
         if not key_meta:
             return self._empty_hits()
+        sc = self.spark.sparkContext
+        self.last_wand_counters = {
+            "blocks_candidate": sc.accumulator(0),
+            "blocks_decoded": sc.accumulator(0),
+            "docs_scored": sc.accumulator(0),
+        }
         return wand_topk(
             self.spark,
             self.blocks,
@@ -375,6 +414,8 @@ class Searcher:
             mode=mode,
             k1=self.k1,
             b=self.b,
+            postings=self.postings,
+            counters=self.last_wand_counters,
         )
 
     # -- core -----------------------------------------------------------
@@ -607,99 +648,145 @@ class Searcher:
     def _phrase_matches(self, phrase_specs) -> DataFrame:
         """(doc_id, _phrases ARRAY<INT>) for docs matching >=1 phrase.
 
-        Joins each phrase's term postings per doc and runs the
-        reference's backtracking position intersection
-        (query/phrase.rs:4-48) inside an Arrow-batched kernel.
+        Three-stage distributed plan (reference semantics:
+        query/phrase.rs:4-48 backtracking position intersection):
+
+        1. **All-buckets prefilter** — positions are heavy; before any
+           are shuffled, a distinct (doc, spec, field, bucket) count
+           keeps only docs containing EVERY phrase bucket.  A phrase
+           with a head term ("the best") then ships positions for at
+           most the docs containing the rarest term, not the head
+           term's whole posting list.
+        2. **Bucket assembly** — per surviving doc, merge alternative
+           tokens per bucket (sorted distinct positions) and pack the
+           ordered bucket position arrays.
+        3. **Match** — slop=0 (the common case) is pure column algebra:
+           fold ``array_intersect(transform(acc, x -> x+1), next)``
+           over the buckets, whole-stage-codegen'd — no Python.  slop>0
+           runs the reference's backtracker in an Arrow batch over the
+           prefiltered survivors only.
         """
-        all_keys: set[str] = set()
-        specs_payload = []
+        map_rows: list[tuple] = []
+        nb_rows: list[tuple] = []
+        slops: dict[int, int] = {}
         for spec in phrase_specs:
-            fields_payload = {}
+            slops[spec.phrase_id] = spec.slop
             for fld, buckets in spec.field_tokens.items():
-                key_buckets = [[f"{fld}:{t}" for t in alts] for alts in buckets]
-                fields_payload[fld] = key_buckets
-                for kb in key_buckets:
-                    all_keys.update(kb)
-            specs_payload.append(
-                {"phrase_id": spec.phrase_id, "fields": fields_payload, "slop": spec.slop}
-            )
-        if not all_keys:
+                nb_rows.append((spec.phrase_id, fld, len(buckets)))
+                for b_idx, alts in enumerate(buckets):
+                    for t in alts:
+                        map_rows.append((f"{fld}:{t}", spec.phrase_id, fld, b_idx))
+        if not map_rows:
             return None
-        pcand = (
-            self.postings.where(F.col("term").isin(sorted(all_keys)))
-            .select("doc_id", "term", "positions")
-            .groupBy("doc_id")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "positions"))
-                ).alias("tp")
-            )
+        spark = self.spark
+        mapping = spark.createDataFrame(
+            map_rows, "term STRING, spec_id INT, field STRING, bucket INT"
         )
-        payload = json.dumps(specs_payload)
+        nb = spark.createDataFrame(nb_rows, "spec_id INT, field STRING, n_buckets INT")
+        keys = sorted({r[0] for r in map_rows})
+        cand = (
+            self.postings.where(F.col("term").isin(keys))
+            .select("doc_id", "term", "positions")
+            .join(F.broadcast(mapping), "term")
+        )
+        surviving = (
+            cand.select("doc_id", "spec_id", "field", "bucket")
+            .distinct()
+            .groupBy("doc_id", "spec_id", "field")
+            .agg(F.count("*").alias("_nb"))
+            .join(F.broadcast(nb), ["spec_id", "field"])
+            .where(F.col("_nb") == F.col("n_buckets"))
+            .select("doc_id", "spec_id", "field")
+        )
+        pos_cand = cand.join(
+            surviving, ["doc_id", "spec_id", "field"], "left_semi"
+        )
+        per_bucket = pos_cand.groupBy("doc_id", "spec_id", "field", "bucket").agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("pos")
+        )
+        assembled = per_bucket.groupBy("doc_id", "spec_id", "field").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "pos"))),
+                lambda s: s["pos"],
+            ).alias("bp")
+        )
 
-        def eval_batch(batches):
-            import pandas as pd
+        zero_ids = [pid for pid, s in slops.items() if s == 0]
+        slop_ids = [pid for pid, s in slops.items() if s > 0]
+        parts = []
+        if zero_ids:
+            # adjacency fold: positions of bucket i+1 must contain a
+            # survivor of (bucket_i positions + 1)
+            adjacent = F.expr(
+                "size(aggregate(slice(bp, 2, size(bp) - 1), bp[0],"
+                " (acc, p) -> array_intersect("
+                "transform(acc, x -> x + 1), p))) > 0"
+            )
+            parts.append(
+                assembled.where(F.col("spec_id").isin(zero_ids))
+                .where(adjacent)
+                .select("doc_id", "spec_id")
+            )
+        if slop_ids:
+            slop_items = sorted(slops.items())
 
-            specs = json.loads(payload)
+            def eval_batch(batches):
+                import pandas as pd
 
-            def match_positions(pos_lists, slop):
-                # backtracking over sorted position lists (phrase.rs:4-48)
-                if any(not p for p in pos_lists):
-                    return False
-                if len(pos_lists) == 1:
-                    return True
+                slop_of = dict(slop_items)
 
-                def search(idx, prev, remaining):
-                    if idx >= len(pos_lists):
+                def match_positions(pos_lists, slop):
+                    # backtracking over sorted lists (phrase.rs:4-48)
+                    if any(len(p) == 0 for p in pos_lists):
+                        return False
+                    if len(pos_lists) == 1:
                         return True
-                    for pos in pos_lists[idx]:
-                        if pos <= prev:
-                            continue
-                        gap = pos - (prev + 1)
-                        if gap > remaining:
-                            break
-                        if search(idx + 1, pos, remaining - gap):
+
+                    def search(idx, prev, remaining):
+                        if idx >= len(pos_lists):
                             return True
-                    return False
-
-                return any(search(1, start, slop) for start in pos_lists[0])
-
-            for pdf in batches:
-                out_doc, out_pid = [], []
-                for did, tp in zip(pdf["doc_id"], pdf["tp"]):
-                    for spec in specs:
-                        ok = False
-                        for _fld, buckets in spec["fields"].items():
-                            pos_lists = []
-                            failed = False
-                            for alts in buckets:
-                                merged = []
-                                for key in alts:
-                                    pl = tp.get(key)
-                                    if pl is not None:
-                                        merged.extend(pl)
-                                if not merged:
-                                    failed = True
-                                    break
-                                pos_lists.append(sorted(set(merged)))
-                            if not failed and match_positions(
-                                pos_lists, spec["slop"]
-                            ):
-                                ok = True
+                        for pos in pos_lists[idx]:
+                            if pos <= prev:
+                                continue
+                            gap = pos - (prev + 1)
+                            if gap > remaining:
                                 break
-                        if ok:
-                            out_doc.append(did)
-                            out_pid.append(spec["phrase_id"])
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pd.Series(out_doc, dtype="int64"),
-                        "phrase_id": pd.Series(out_pid, dtype="int32"),
-                    }
-                )
+                            if search(idx + 1, pos, remaining - gap):
+                                return True
+                        return False
 
-        matches = pcand.mapInPandas(eval_batch, "doc_id LONG, phrase_id INT")
-        return matches.groupBy("doc_id").agg(
-            F.collect_set("phrase_id").alias("_phrases")
+                    return any(
+                        search(1, start, slop) for start in pos_lists[0]
+                    )
+
+                for pdf in batches:
+                    out_doc, out_pid = [], []
+                    for did, pid, bp in zip(
+                        pdf["doc_id"], pdf["spec_id"], pdf["bp"]
+                    ):
+                        pos_lists = [list(p) for p in bp]
+                        if match_positions(pos_lists, slop_of[int(pid)]):
+                            out_doc.append(did)
+                            out_pid.append(pid)
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": pd.Series(out_doc, dtype="int64"),
+                            "spec_id": pd.Series(out_pid, dtype="int32"),
+                        }
+                    )
+
+            parts.append(
+                assembled.where(F.col("spec_id").isin(slop_ids))
+                .select("doc_id", "spec_id", "bp")
+                .mapInPandas(eval_batch, "doc_id LONG, spec_id INT")
+            )
+        matched = parts[0]
+        for p in parts[1:]:
+            matched = matched.unionByName(p)
+        return matched.groupBy("doc_id").agg(
+            F.collect_set("spec_id").alias("_phrases")
         )
 
     # -- sorting ----------------------------------------------------------

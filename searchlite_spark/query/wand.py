@@ -60,9 +60,19 @@ def wand_topk(
     bucket_width: int | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    postings: DataFrame | None = None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """key_meta: {key: {"weight", "df", "max_tf", "field"}}.
-    Returns (doc_id, score) — exact top-k of Σ_t weight_t * bm25_t."""
+    Returns (doc_id, score) — exact top-k of Σ_t weight_t * bm25_t.
+
+    postings: when given, the threshold seed runs as a small distributed
+    job over the seed term's postings (pushed-down term filter) instead
+    of a driver-side decode — no df cap, no θ=0 fallback for head terms.
+    counters: optional dict of Spark accumulators
+    {"blocks_candidate", "blocks_decoded", "docs_scored"} — the pruning
+    observability surface (mirrors the reference's profile counters,
+    wand.rs:45-50); incremented inside the kernel when provided."""
     keys = sorted(key_meta)
     if not keys:
         return spark.createDataFrame([], KERNEL_SCHEMA)
@@ -81,9 +91,14 @@ def wand_topk(
         theta = 0.0  # decode + score everything (the kernel oracle)
     else:
         seed_key = max(ubs, key=ubs.get)
-        theta = _seed_threshold(
-            blocks, key_meta[seed_key], seed_key, avgdl, n_docs, k, k1, b
-        )
+        if postings is not None:
+            theta = _seed_threshold_distributed(
+                postings, key_meta[seed_key], seed_key, avgdl, n_docs, k, k1, b
+            )
+        else:
+            theta = _seed_threshold(
+                blocks, key_meta[seed_key], seed_key, avgdl, n_docs, k, k1, b
+            )
 
     # ---- 2+3. bucketed kernel ----
     cand = blocks.where(F.col("term").isin(keys)).select(
@@ -116,7 +131,7 @@ def wand_topk(
     for key in meta:
         meta[key]["idf"] = float(idf[key])
 
-    kernel = _make_kernel(meta, theta, k, mode, bucket_width, k1, b)
+    kernel = _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters)
     local = bucketed.groupBy("bucket").applyInPandas(
         kernel, "bucket LONG, doc_id LONG, score DOUBLE"
     )
@@ -158,7 +173,42 @@ def _seed_threshold(blocks, m, key, avgdl, n_docs, k, k1, b) -> float:
     return float(np.partition(scores, -k)[-k])
 
 
-def _make_kernel(meta, theta, k, mode, bucket_width, k1, b):
+def _seed_threshold_distributed(
+    postings, m, key, avgdl, n_docs, k, k1, b
+) -> float:
+    """k-th best exact score of the seed term, computed as a tiny
+    distributed job: pushed-down term scan -> codegen'd BM25 column ->
+    ORDER BY LIMIT k.  Replaces the driver-side payload decode — no
+    posting bytes ever reach the driver, and head terms (df in the
+    billions at 100 TB) seed just as well as rare ones."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    if m["df"] < k:
+        return 0.0
+    av = float(avgdl.get(m["field"], 0.0))
+    idf = max(_math.log((n_docs - m["df"] + 0.5) / (m["df"] + 0.5)), 0.0) + 1.0
+    tf = F.col("tf").cast("double")
+    dl_eff = F.when(F.col("dl") > 0, F.col("dl").cast("double")).otherwise(
+        F.lit(max(av, 1.0))
+    )
+    norm = dl_eff / F.lit(av) if av > 0 else F.lit(1.0)
+    denom = F.greatest(tf + F.lit(k1) * (1.0 - b + b * norm), F.lit(1e-6))
+    score = F.lit(float(m["weight"]) * idf) * (tf * (k1 + 1.0)) / denom
+    rows = (
+        postings.where(F.col("term") == key)
+        .select(score.alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        return 0.0
+    return float(rows[-1]["s"])
+
+
+def _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters=None):
     def kernel(pdf):
         import numpy as np
         import pandas as pd
@@ -205,6 +255,8 @@ def _make_kernel(meta, theta, k, mode, bucket_width, k1, b):
             # positions where bound >= theta between ev_pos[i], ev_pos[i+1])
             ok = run >= theta - 1e-9
             if not ok.any():
+                if counters is not None:
+                    counters["blocks_candidate"].add(int(len(pdf)))
                 return pd.DataFrame(
                     {"bucket": [], "doc_id": [], "score": []}
                 ).astype({"bucket": "int64", "doc_id": "int64", "score": "float64"})
@@ -231,6 +283,9 @@ def _make_kernel(meta, theta, k, mode, bucket_width, k1, b):
             cover_hi = np.array([hi])
 
         # ---- decode surviving blocks, exact score ----
+        if counters is not None:
+            counters["blocks_candidate"].add(int(len(pdf)))
+            counters["blocks_decoded"].add(int(surv.sum()))
         width = hi - lo + 1
         acc = np.zeros(width, dtype=np.float64)
         touched = np.zeros(width, dtype=bool)
@@ -262,6 +317,8 @@ def _make_kernel(meta, theta, k, mode, bucket_width, k1, b):
 
         # restrict to docs inside surviving coverage (others can't beat θ)
         doc_off = np.nonzero(touched)[0]
+        if counters is not None:
+            counters["docs_scored"].add(int(len(doc_off)))
         if len(doc_off) == 0:
             return pd.DataFrame({"bucket": [], "doc_id": [], "score": []}).astype(
                 {"bucket": "int64", "doc_id": "int64", "score": "float64"}

@@ -3,6 +3,7 @@ from searchlite_spark.textops.dedup import (  # noqa: F401
     minhash_signatures,
     minhash_lsh_pairs,
     simhash,
+    simhash_near_pairs,
     ngram_jaccard_pairs,
 )
 from searchlite_spark.textops.similarity import (  # noqa: F401

@@ -67,23 +67,24 @@ def minhash_signatures(
     """(id, sig ARRAY<LONG>) — k minhash values per doc.
 
     sig[i] = min over shingles of xxhash64(shingle, salt_i).  Computed
-    columnar: explode distinct shingles, build the k-hash array per
-    shingle, groupBy(id) with element-wise array min via zip_with
-    aggregate — one shuffle, no Python."""
+    as k plain ``min`` aggregates over per-shingle hash columns — the
+    per-group state is exactly k longs and Spark's partial (map-side)
+    aggregation absorbs any per-doc shingle count, unlike a
+    ``collect_list`` of hash arrays which buffers every shingle of a
+    group in memory before folding."""
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh")
     )
-    hashes = F.array(
-        *[F.xxhash64(F.col("_sh"), F.lit(i)) for i in range(num_hashes)]
-    ).alias("_h")
-    per_shingle = sh.select(id_col, hashes)
-    zero = F.array(*[F.lit(2**63 - 1)] * num_hashes)
-    return per_shingle.groupBy(id_col).agg(
-        F.aggregate(
-            F.collect_list("_h"),
-            zero,
-            lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
-        ).alias("sig")
+    per_shingle = sh.select(
+        id_col,
+        *[F.xxhash64(F.col("_sh"), F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)],
+    )
+    agg = per_shingle.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col,
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -95,9 +96,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded LSH with
-    exact-Jaccard verification of the candidates."""
+    exact-Jaccard verification of the candidates.
+
+    max_bucket_size caps the (band, bucket) self-join: a bucket with m
+    members yields m² candidate pairs, and at Common-Crawl scale
+    boilerplate/empty-page clusters form million-member buckets (10¹²
+    pairs from ONE key).  Oversized buckets are dropped — their members
+    are near-certain exact duplicates, which the (cheaper) exact_dedup
+    pass should collapse FIRST; run exact dedup before near-dup, or
+    pass None to disable the guard on pre-deduped input."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = F.explode(
@@ -119,6 +129,14 @@ def minhash_lsh_pairs(
     buckets = sigs.select(F.col(id_col), band_cols).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (
@@ -159,35 +177,103 @@ def simhash(
     """(id, simhash LONG) — sign-aggregate of per-token 64-bit hashes.
 
     bit_i(doc) = 1 if sum over tokens of (+1 if bit_i(xxhash64(tok))
-    else -1) > 0.  Computed via explode + groupBy sum of bit vectors."""
+    else -1) > 0.  Computed as ``bits`` plain ``sum`` aggregates (one
+    int per bit of per-group state, map-side combinable) — no
+    collect_list buffering."""
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_t")
     ).where(F.col("_t") != "")
     h = F.xxhash64("_t")
-    bit_vec = F.array(
+    per_tok = toks.select(
+        id_col,
         *[
             F.when(
                 h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
                 F.lit(1),
-            ).otherwise(F.lit(-1))
+            )
+            .otherwise(F.lit(-1))
+            .alias(f"_b{i}")
             for i in range(bits)
-        ]
+        ],
     )
-    summed = toks.select(id_col, bit_vec.alias("_bits")).groupBy(id_col).agg(
-        F.aggregate(
-            F.collect_list("_bits"),
-            F.array(*[F.lit(0)] * bits),
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("_sums")
+    summed = per_tok.groupBy(id_col).agg(
+        *[F.sum(f"_b{i}").alias(f"_b{i}") for i in range(bits)]
     )
     value = F.lit(0).cast("long")
     for i in range(bits):
         bit = -(1 << 63) if i == 63 else (1 << i)  # signed-long bit 63
         value = value.bitwiseOR(
-            F.when(F.element_at("_sums", i + 1) > 0, F.lit(bit).cast("long"))
+            F.when(F.col(f"_b{i}") > 0, F.lit(bit).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
     return summed.select(id_col, value.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, hamming) via banded simhash.
+
+    The 64-bit signature is split into ``max_hamming + 1`` contiguous
+    bands; by pigeonhole, any pair within Hamming distance
+    ``max_hamming`` agrees exactly on at least one band — so a
+    band-equality self-join finds ALL qualifying pairs, then
+    ``bit_count(xor)`` verifies the true distance.  Same hot-bucket cap
+    rationale as MinHash-LSH."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sigs = simhash(df, text_col, id_col)
+    frames = []
+    for bnd in range(n_bands):
+        lo = bnd * width
+        w = width if bnd < n_bands - 1 else 64 - lo  # last band absorbs the remainder
+        mask = F.lit((1 << w) - 1 if w < 64 else -1).cast("long")
+        key = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(mask)
+        frames.append(
+            sigs.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(bnd).alias("band"),
+                key.alias("key"),
+            )
+        )
+    b = frames[0]
+    for f in frames[1:]:
+        b = b.unionByName(f)
+    if max_bucket_size is not None:
+        ok = (
+            b.groupBy("band", "key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "key")
+        )
+        b = b.join(ok, ["band", "key"], "left_semi")
+    left, right = b.alias("l"), b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(

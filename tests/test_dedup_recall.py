@@ -1,0 +1,98 @@
+"""Recall/behavior tests for the near-duplicate operators on a seeded
+corpus with PLANTED near-dup pairs — row counts alone can't tell a
+working LSH from a broken one (round-1 verdict gap).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchlite_spark.textops import (
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+
+N_BASE = 80
+N_DUP = 40
+DOC_LEN = 120
+
+
+def _corpus_rows():
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    planted = []
+    for i in range(N_BASE):
+        toks = [rng.choice(vocab) for _ in range(DOC_LEN)]
+        rows.append((i, " ".join(toks)))
+        if i < N_DUP:
+            dup = list(toks)
+            for _ in range(2):  # perturb 2 tokens -> shingle jaccard ~0.9
+                dup[rng.randrange(DOC_LEN)] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(dup)))
+            planted.append((i, 1000 + i))
+    return rows, planted
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows, planted = _corpus_rows()
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING"), planted
+
+
+def test_minhash_lsh_recall(spark, corpus):
+    df, planted = corpus
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.6).collect()
+    }
+    hit = sum(1 for p in planted if p in got)
+    recall = hit / len(planted)
+    assert recall >= 0.95, f"recall {recall} over {len(planted)} planted pairs"
+    # verification step: every reported pair really clears the threshold
+    for r in minhash_lsh_pairs(df, threshold=0.6).collect():
+        assert r["jaccard"] >= 0.6
+
+
+def test_minhash_hot_bucket_cap(spark, corpus):
+    """A boilerplate cluster larger than the cap is dropped (exact-dedup
+    territory) without hurting recall of the genuine near-dups."""
+    df, planted = corpus
+    boiler = spark.createDataFrame(
+        [(5000 + i, "boiler plate page empty nav footer " * 20) for i in range(50)],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df.unionByName(boiler), threshold=0.6, max_bucket_size=20
+        ).collect()
+    }
+    assert not any(a >= 5000 and b >= 5000 for a, b in got)
+    hit = sum(1 for p in planted if p in got)
+    assert hit / len(planted) >= 0.95
+
+
+def test_simhash_near_pairs_recall(spark, corpus):
+    df, planted = corpus
+    out = simhash_near_pairs(df, max_hamming=12).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    hit = sum(1 for p in planted if p in got)
+    assert hit / len(planted) >= 0.9, f"{hit}/{len(planted)}"
+    for r in out:
+        assert 0 <= r["hamming"] <= 12
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here entirely unrelated")],
+        "doc_id LONG, text STRING",
+    )
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(df, max_hamming=3).collect()}
+    assert out.get((1, 2)) == 0
+    assert not any(k for k in out if 3 in k)
