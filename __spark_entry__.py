@@ -903,6 +903,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = lsh_ann_topk(emb, list(qvec), k=5, multiprobe=4)
         return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
+    def search_after_sorted(spark, sf_dir):
+        """Sorted-path keyset pagination: page 2 resumes from page 1's
+        (sort key, doc_id) cursor (reader.rs:614-901 sort cursors)."""
+        s = _searcher(spark, sf_dir)
+        req = {
+            "query": "vector",
+            "sort": [{"field": "n_chars", "order": "desc"}],
+            "limit": 10,
+        }
+        p1 = s.search_df(req).select("doc_id", "n_chars").collect()
+        last = p1[-1]
+        req2 = dict(req, search_after=[last["n_chars"], last["doc_id"]])
+        return s.search_df(req2).select("doc_id", "n_chars")
+
+    def agg_sampler(spark, sf_dir):
+        """Deterministic probability sampling + sub-agg (mod.rs:47-129);
+        the md5-based draw is replayed exactly in the SQL oracle."""
+        from searchlite_spark.query.aggs import run_aggregations
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "table"})
+        out = run_aggregations(
+            m, s.docs,
+            {"smp": {"sampler": {"probability": 0.5, "seed": 42,
+                                 "aggs": {"st": {"stats": {"field": "n_chars"}}}}}},
+        )
+        smp = out["smp"]
+        st = smp["st"]
+        return spark.createDataFrame(
+            [(smp["doc_count"], st["count"], st["min"], st["max"], st["sum"],
+              round(st["avg"], 4))],
+            "doc_count LONG, count LONG, min DOUBLE, max DOUBLE, sum DOUBLE, avg DOUBLE",
+        )
+
+    def hybrid_search(spark, sf_dir):
+        """alpha-blended BM25 + cosine retrieval (reader.rs:226-254,
+        vectors/mod.rs:122-129): candidates = bm25 matches U vector
+        top-50; missing vector scores -1.0, missing bm25 scores 0."""
+        from searchlite_spark.textops import hybrid_topk
+
+        s = _searcher(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        out = hybrid_topk(
+            s, "spark query", emb, list(qvec), k=10, alpha=0.5, candidate_k=50
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    def simhash_near_dups(spark, sf_dir):
+        """Hamming-banded simhash retrieval; hash-dependent -> rows-only
+        driver check (recall is pytest-gated on planted dups)."""
+        from searchlite_spark.textops import simhash_near_pairs
+
+        docs = _docs(spark, sf_dir)
+        doubled = docs.select("doc_id", "text").unionByName(
+            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        return simhash_near_pairs(doubled, max_hamming=3).orderBy(
+            "id_a", "id_b"
+        )
+
+    Q.update(
+        search_after_sorted=search_after_sorted,
+        agg_sampler=agg_sampler,
+        hybrid_search=hybrid_search,
+        simhash_near_dups=simhash_near_dups,
+    )
+
     Q.update(
         dedup_exact_survivors=dedup_exact_survivors,
         ngram_jaccard=ngram_jaccard,
@@ -1374,6 +1442,51 @@ ranked AS (
 )
 SELECT event_type, user_id, total_value, rank::INT AS rank
 FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
+
+    O["search_after_sorted"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE (' ' || text || ' ') LIKE '% vector %'
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 10"""
+
+    O["agg_sampler"] = """
+WITH m AS (SELECT doc_id, n_chars FROM documents
+           WHERE (' ' || text || ' ') LIKE '% table %'),
+s AS (
+  SELECT * FROM m
+  WHERE CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT)::DOUBLE / 1152921504606846976.0 < 0.5
+)
+SELECT (SELECT count(*) FROM s)::BIGINT AS doc_count,
+       count(n_chars)::BIGINT AS count,
+       CAST(min(n_chars) AS DOUBLE) AS min,
+       CAST(max(n_chars) AS DOUBLE) AS max,
+       CAST(sum(n_chars) AS DOUBLE) AS sum,
+       round(avg(n_chars), 4) AS avg
+FROM s"""
+
+    O["hybrid_search"] = (
+        _bm25_cte(["spark", "query"])
+        + """, vs AS (
+  SELECT vec_id, cosine FROM (
+    SELECT e.vec_id,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0) q
+  ) ORDER BY cosine DESC, vec_id ASC LIMIT 50
+),
+merged AS (
+  SELECT COALESCE(s.doc_id, v.vec_id) AS doc_id,
+         0.5 * COALESCE(s.score, 0.0) + 0.5 * COALESCE(v.cosine, -1.0) AS h
+  FROM scored s FULL OUTER JOIN vs v ON s.doc_id = v.vec_id
+)
+SELECT doc_id, round(h, 4) AS score_r FROM merged
+ORDER BY h DESC, doc_id ASC LIMIT 10"""
+    )
+    # simhash_near_dups: hash-function-dependent -> rows-only check
 
     # ---- pipeline ops ----
     O["dedup_exact_survivors"] = """

@@ -380,6 +380,33 @@ def percentiles_agg(
     )
 
 
+def sample_uniform(id_col: str = "doc_id", seed: int = 0):
+    """Deterministic per-doc uniform in [0, 1): the top 60 bits of
+    md5(seed ':' doc_id) scaled down.  md5 (not xxhash64) so the exact
+    same draw is expressible in ANSI SQL for the oracle gate."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(int(seed))), F.lit(":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(1 << 60))
+
+
+def sampler_filter(
+    matches: DataFrame, probability: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic probability sampling of the match set
+    (aggs/mod.rs:47-129): doc kept iff u(seed, doc_id) < probability.
+    Same seed -> same subset, independent of partitioning/cluster size."""
+    if not (0.0 < probability <= 1.0):
+        raise ValueError("sampler probability must be in (0, 1]")
+    return matches.where(sample_uniform(seed=seed) < F.lit(float(probability)))
+
+
 def filter_agg(
     matches: DataFrame, docs: DataFrame, filter_node: dict
 ) -> DataFrame:
@@ -864,6 +891,15 @@ def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
                 sub_matches = matches.join(
                     filtered.select("doc_id"), "doc_id", "left_semi"
                 )
+                resp.update(run_aggregations(sub_matches, docs, sub_aggs))
+            out[name] = resp
+        elif kind == "sampler":
+            prob = float(body.get("probability", 1.0))
+            seed = int(body.get("seed", 0))
+            sampled = sampler_filter(matches.select("doc_id"), prob, seed)
+            resp = {"doc_count": sampled.count(), "sampled": True}
+            if sub_aggs:
+                sub_matches = matches.join(sampled, "doc_id", "left_semi")
                 resp.update(run_aggregations(sub_matches, docs, sub_aggs))
             out[name] = resp
         elif kind == "top_hits":

@@ -141,15 +141,10 @@ class Searcher:
             resp["total_groups"] = reps.count()
             scored = reps.select("doc_id", "score", "_ckey")
 
-        ordered = self._apply_sort(scored, sort)
         search_after = request.get("search_after")
-        if search_after and not sort:
-            # keyset pagination on the default (score, doc_id) sort
-            s_after, d_after = float(search_after[0]), int(search_after[1])
-            ordered = ordered.where(
-                (F.col("score") < s_after)
-                | ((F.col("score") == s_after) & (F.col("doc_id") > d_after))
-            )
+        if search_after:
+            scored = self._apply_search_after(scored, sort, search_after)
+        ordered = self._apply_sort(scored, sort)
         if request.get("rescore"):
             combined = PP.rescore_hits(self, ordered, request["rescore"], limit)
             ordered = combined.orderBy(
@@ -254,8 +249,22 @@ class Searcher:
                 "total_matches": total,
                 "returned": len(hits),
             }
-        if hits and not sort:
-            resp["next_search_after"] = [hits[-1]["score"], hits[-1]["doc_id"]]
+        if hits:
+            # cursor = the last hit's sort-key tuple + doc_id; feeding it
+            # back as `search_after` resumes exactly after this page on
+            # any sort plan (reader.rs sort-path cursors)
+            cursor = []
+            last = rows[-1]
+            for fld, order in self._sort_specs(sort):
+                if fld == "_score":
+                    cursor.append(hits[-1]["score"])
+                else:
+                    v = last.get(fld)
+                    if isinstance(v, list):
+                        v = (min(v) if order == "asc" else max(v)) if v else None
+                    cursor.append(v)
+            cursor.append(hits[-1]["doc_id"])
+            resp["next_search_after"] = cursor
 
         suggest = request.get("suggest")
         if suggest:
@@ -308,6 +317,10 @@ class Searcher:
         total = scored.count() if with_total else None
 
         sort = request.get("sort")
+        if request.get("search_after"):
+            scored = self._apply_search_after(
+                scored, sort, request["search_after"]
+            )
         ordered = self._apply_sort(scored, sort)
         top = ordered.limit(limit)
         out = top.join(self.docstore, "doc_id", "left").orderBy(
@@ -790,6 +803,69 @@ class Searcher:
         )
 
     # -- sorting ----------------------------------------------------------
+
+    def _sort_specs(self, sort) -> list[tuple[str, str]]:
+        """[(field | "_score", order)] without the doc_id tiebreak."""
+        if not sort:
+            return [("_score", "desc")]
+        out = []
+        for s in sort:
+            if isinstance(s, str):
+                out.append((s, "asc"))
+            else:
+                out.append((s["field"], s.get("order", "asc")))
+        return out
+
+    def _sort_value_col(self, fld: str, order: str) -> Column:
+        if fld == "_score":
+            return F.col("score")
+        c = F.col(fld)
+        try:
+            if isinstance(self.docs.schema[fld].dataType, T.ArrayType):
+                c = F.array_min(c) if order == "asc" else F.array_max(c)
+        except KeyError:
+            pass
+        return c
+
+    def _apply_search_after(self, scored: DataFrame, sort, values) -> DataFrame:
+        """Keyset pagination over an ARBITRARY sort plan (the
+        reference's sort-path cursors, reader.rs:614-901): keep rows
+        strictly after the cursor in lexicographic
+        (sort keys..., doc_id asc) order.  Nulls-last aware: a null
+        sort value ranks after every concrete value, so a concrete
+        cursor admits later nulls and a null cursor admits only nulls
+        with a larger doc_id."""
+        specs = self._sort_specs(sort)
+        values = list(values)
+        if len(values) != len(specs) + 1:
+            raise ValueError(
+                "search_after needs one value per sort key plus doc_id"
+            )
+        keep = list(scored.columns)
+        fields = list(
+            dict.fromkeys(
+                f for f, _ in specs if f != "_score" and f not in keep
+            )
+        )
+        if fields:
+            scored = scored.join(
+                self.docs.select("doc_id", *fields), "doc_id", "left"
+            )
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for (fld, order), v in zip(specs, values[:-1]):
+            c = self._sort_value_col(fld, order)
+            if v is None:
+                gt = F.lit(False)
+                eqc = c.isNull()
+            else:
+                gt = (c < F.lit(v)) if order == "desc" else (c > F.lit(v))
+                gt = gt | c.isNull()  # nulls-last: null is "after" any value
+                eqc = c == F.lit(v)
+            pred = pred | (eq & gt)
+            eq = eq & eqc
+        pred = pred | (eq & (F.col("doc_id") > F.lit(int(values[-1]))))
+        return scored.where(pred).select(*keep)
 
     def _sort_cols(self, sort) -> list[Column]:
         """Sort plan (sort.rs:80-298): _score and/or doc fields;

@@ -8,6 +8,7 @@ from searchlite_spark.textops.dedup import (  # noqa: F401
 )
 from searchlite_spark.textops.similarity import (  # noqa: F401
     cosine_topk,
+    hybrid_topk,
     lsh_ann_topk,
 )
 from searchlite_spark.textops.quality import (  # noqa: F401

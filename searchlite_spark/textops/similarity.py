@@ -55,6 +55,62 @@ def cosine_topk(
     )
 
 
+def hybrid_topk(
+    searcher,
+    query,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    alpha: float = 0.5,
+    candidate_k: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid BM25 + vector retrieval (the reference's `vector` query
+    node blend, api/reader.rs:226-254 compute_hybrid_score +
+    vectors/mod.rs:122-129 blend_scores):
+
+    * candidates = BM25 matches ∪ vector top-``candidate_k``;
+    * score = alpha·bm25 + (1-alpha)·cosine, with bm25=0 for
+      vector-only candidates and cosine=-1.0 for docs outside the
+      vector candidate set (missing_vector_score, reader.rs:218-223);
+    * alpha>=1 degenerates to pure BM25, alpha<=0 to pure vector
+      (vector-only candidates).
+
+    The join key is the embedding id == doc id.  Both legs are
+    independent distributed jobs; the merge is a full-outer join on
+    doc_id over (|bm25 matches| + candidate_k) rows."""
+    if alpha <= 0.0:
+        vs = cosine_topk(emb, query_vec, candidate_k, vec_col, id_col)
+        out = vs.select(
+            F.col(id_col).alias("doc_id"), F.col("cosine").alias("score")
+        )
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        )
+    bm = searcher.match_set({"query": query}).select(
+        "doc_id", F.col("score").alias("_bm25")
+    )
+    if alpha >= 1.0:
+        return (
+            bm.select("doc_id", F.col("_bm25").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    vs = cosine_topk(emb, query_vec, candidate_k, vec_col, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col("cosine").alias("_vec")
+    )
+    merged = bm.join(vs, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.lit(float(alpha)) * F.coalesce(F.col("_bm25"), F.lit(0.0))
+            + F.lit(1.0 - float(alpha))
+            * F.coalesce(F.col("_vec"), F.lit(-1.0))
+        ).alias("score"),
+    )
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def _hyperplane_sign(vec_col, plane: int, dim: int):
     """Deterministic pseudo-random hyperplane: weight(plane, j) =
     xxhash64(plane, j) scaled to [-1, 1]."""
