@@ -69,6 +69,15 @@ def build_and_searcher(spark, rebuild=False):
     return Searcher(idx), idx, build_secs
 
 
+KERNEL = [
+    # the engine's default execution path (block-max pruned kernel)
+    ("bm25_topk_bmw", {"query": "spark query window", "limit": 10,
+                       "execution": "bmw"}),
+    ("bm25_topk_wand", {"query": "spark query window", "limit": 10,
+                        "execution": "wand"}),
+]
+
+
 def run_query_suite(searcher, iterations=3):
     from searchlite_spark.query.aggs import run_aggregations
 
@@ -83,6 +92,13 @@ def run_query_suite(searcher, iterations=3):
             df.orderBy(F.desc("score"), F.asc("doc_id")).limit(
                 int(req.get("limit", 10))
             ).collect()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 4)
+    for name, req in KERNEL:
+        best = float("inf")
+        for _ in range(iterations):
+            t0 = time.time()
+            searcher.topk(req).collect()
             best = min(best, time.time() - t0)
         times[name] = round(best, 4)
     for name, req, aggs in AGGS:

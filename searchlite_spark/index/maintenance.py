@@ -1,0 +1,143 @@
+"""Index maintenance: delete-by-id and compaction as filtered rewrites.
+
+The reference deletes documents through its writer (tombstones applied
+at segment merge, searchlite-core/src/api/writer.rs delete paths) and
+reclaims space by compaction.  A Spark-first batch index is an
+immutable snapshot, so both operations are the SAME primitive: rewrite
+the index without the deleted docs and recompute the derived tables —
+postings and docs are *filtered* (never re-tokenized: the expensive
+analysis work is reused), while the term dictionary, global BM25
+statistics (df/avgdl change when docs leave!) and block-max metadata
+are recomputed from the filtered postings.  The output is
+score-identical to a fresh build over the remaining corpus.
+
+At 100 TB this is an anti-join against a (small, broadcast) tombstone
+set plus shuffle-free filtered copies — no tokenization, no
+(term, doc_id) re-shuffle (filtering preserves the range-sorted layout
+within files).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from searchlite_spark.index.catalog import Index, write_manifest
+
+
+def delete_by_id(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    doc_ids: list[int],
+    num_partitions: int | None = None,
+) -> Index:
+    """New index at ``out_path`` without ``doc_ids``.
+
+    BM25 parity: df, cf, max_tf, n_docs and float32 avgdl are all
+    recomputed, so queries against the result are rank-and-score
+    identical to a fresh build over the surviving corpus."""
+    return _rewrite(spark, index_path, out_path, list(doc_ids), num_partitions)
+
+
+def compact(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    num_partitions: int | None = None,
+) -> Index:
+    """Compaction = the empty delete: rewrites every table (dropping
+    dead files / small fragments) and repacks the block-max postings."""
+    return _rewrite(spark, index_path, out_path, [], num_partitions)
+
+
+def _rewrite(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    doc_ids: list[int],
+    num_partitions: int | None,
+) -> Index:
+    t0 = time.time()
+    src = Index(index_path, spark)
+    manifest = dict(src.manifest)
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    postings = src.postings()
+    docs = src.docs()
+    if doc_ids:
+        ids_df = F.broadcast(
+            spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id LONG")
+        )
+        postings = postings.join(ids_df, "doc_id", "left_anti")
+        docs = docs.join(ids_df, "doc_id", "left_anti")
+
+    # filtered copies: no shuffle — per-file filters preserve the
+    # (term, doc_id) / doc_id sorted layout
+    postings.write.mode("overwrite").parquet(f"{out_path}/postings")
+    docs.write.mode("overwrite").parquet(f"{out_path}/docs")
+    new_postings = spark.read.parquet(f"{out_path}/postings")
+    new_docs = spark.read.parquet(f"{out_path}/docs")
+
+    (
+        new_postings.groupBy("term")
+        .agg(
+            F.first("field").alias("field"),
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        .repartitionByRange(max(num_partitions // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/terms")
+    )
+    terms_df = spark.read.parquet(f"{out_path}/terms")
+
+    n_docs = new_docs.count()
+    text_names = [t["name"] for t in manifest["schema"]["text_fields"]]
+    totals_rows = (
+        terms_df.where(F.col("field").isin(text_names))
+        .groupBy("field")
+        .agg(F.sum("cf").alias("total"))
+        .collect()
+        if text_names
+        else []
+    )
+    totals = {r["field"]: int(r["total"]) for r in totals_rows}
+    import numpy as np
+
+    avgdl = {
+        f: float(np.float32(totals.get(f, 0)) / np.float32(n_docs)) if n_docs else 0.0
+        for f in text_names
+    }
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": avgdl,
+        "total_tokens": {f: totals.get(f, 0) for f in text_names},
+    }
+
+    if src.has_blocks():
+        from searchlite_spark.index.blocks import build_block_postings
+
+        build_block_postings(
+            spark,
+            new_postings,
+            f"{out_path}/blocks",
+            block_size=int(manifest.get("block_size", 128)),
+            num_partitions=num_partitions,
+        )
+
+    manifest["stats"] = stats
+    manifest.setdefault("lineage", {})
+    manifest["lineage"] = dict(
+        manifest["lineage"],
+        compacted_from=index_path,
+        deleted_ids=len(doc_ids),
+        rewritten_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    )
+    manifest.setdefault("metrics", {})["rewrite_secs"] = round(time.time() - t0, 3)
+    write_manifest(out_path, manifest)
+    return Index(path=out_path, spark=spark)

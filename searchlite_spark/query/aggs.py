@@ -358,16 +358,25 @@ def cardinality_agg(md: DataFrame, field: str, approximate: bool = False) -> Dat
 
 
 def percentiles_agg(
-    md: DataFrame, field: str, percents: list[float] | None = None
+    md: DataFrame, field: str, percents: list[float] | None = None,
+    approximate: bool = False, accuracy: int = 10_000,
 ) -> DataFrame:
     """Exact percentiles (sorted linear interpolation) — matches the
-    reference's <=256-value exact path; returns one row per percent."""
+    reference's <=256-value exact path; returns one row per percent.
+
+    approximate=True is the big-N path (the reference switches to a
+    t-digest sketch above 256 values, aggs/mod.rs:466-600): Spark's
+    percentile_approx sketch is mergeable map-side, so the exact
+    full-sort never happens — use it whenever the matched set can
+    exceed executor memory."""
     percents = percents or [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
     vals = _explode_if_array(md, field).where(F.col(field).isNotNull())
     fracs = [p / 100.0 for p in percents]
+    fn = "approx_percentile" if approximate else "percentile"
+    extra = f", {int(accuracy)}" if approximate else ""
     row = vals.agg(
         F.expr(
-            f"percentile({field}, array({','.join(str(f) for f in fracs)}))"
+            f"{fn}({field}, array({','.join(str(f) for f in fracs)}){extra})"
         ).alias("vals")
     )
     pairs = F.arrays_zip(
@@ -868,7 +877,11 @@ def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
             out[name] = {"value": cardinality_agg(md, body["field"]).collect()[0][0]}
         elif kind == "percentiles":
             md = _matched_docs(matches, docs, [body["field"]])
-            rows = percentiles_agg(md, body["field"], body.get("percents")).collect()
+            rows = percentiles_agg(
+                md, body["field"], body.get("percents"),
+                approximate=bool(body.get("approximate")),
+                accuracy=int(body.get("accuracy", 10_000)),
+            ).collect()
             out[name] = {"values": {str(r["percent"]): r["value"] for r in rows}}
         elif kind == "percentile_ranks":
             md = _matched_docs(matches, docs, [body["field"]])

@@ -703,10 +703,8 @@ class Searcher:
             .join(F.broadcast(mapping), "term")
         )
         surviving = (
-            cand.select("doc_id", "spec_id", "field", "bucket")
-            .distinct()
-            .groupBy("doc_id", "spec_id", "field")
-            .agg(F.count("*").alias("_nb"))
+            cand.groupBy("doc_id", "spec_id", "field")
+            .agg(F.countDistinct("bucket").alias("_nb"))
             .join(F.broadcast(nb), ["spec_id", "field"])
             .where(F.col("_nb") == F.col("n_buckets"))
             .select("doc_id", "spec_id", "field")
@@ -714,16 +712,29 @@ class Searcher:
         pos_cand = cand.join(
             surviving, ["doc_id", "spec_id", "field"], "left_semi"
         )
-        per_bucket = pos_cand.groupBy("doc_id", "spec_id", "field", "bucket").agg(
-            F.sort_array(
-                F.array_distinct(F.flatten(F.collect_list("positions")))
-            ).alias("pos")
+        # one positions shuffle; the per-bucket merge + ordered assembly
+        # happen as per-row higher-order expressions (buckets per phrase
+        # are tiny)
+        grouped = (
+            pos_cand.groupBy("doc_id", "spec_id", "field")
+            .agg(F.collect_list(F.struct("bucket", "positions")).alias("_ents"))
+            .join(F.broadcast(nb), ["spec_id", "field"])
         )
-        assembled = per_bucket.groupBy("doc_id", "spec_id", "field").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bucket", "pos"))),
-                lambda s: s["pos"],
-            ).alias("bp")
+        bp_expr = F.transform(
+            F.sequence(F.lit(0), F.col("n_buckets") - 1),
+            lambda b: F.sort_array(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.filter(F.col("_ents"), lambda e: e["bucket"] == b),
+                            lambda e: e["positions"],
+                        )
+                    )
+                )
+            ),
+        )
+        assembled = grouped.select(
+            "doc_id", "spec_id", "field", bp_expr.alias("bp")
         )
 
         zero_ids = [pid for pid, s in slops.items() if s == 0]

@@ -1,0 +1,85 @@
+"""delete_by_id / compact: filtered rewrites must be score-identical to
+a fresh build over the surviving corpus (stats recomputed, not stale)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchlite_spark.index import (
+    IndexSchema,
+    KeywordField,
+    NumericField,
+    TextField,
+    build_index,
+)
+from searchlite_spark.index.maintenance import compact, delete_by_id
+from searchlite_spark.query import Searcher
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, " ".join(["alpha", "beta", "gamma", "delta"][: 1 + i % 4] * (1 + i % 3)),
+         "en" if i % 2 else "de", i * 10)
+        for i in range(30)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, body STRING, lang STRING, n LONG"
+    )
+
+
+SCHEMA = IndexSchema(
+    doc_id_field="doc_id",
+    text_fields=(TextField("body"),),
+    keyword_fields=(KeywordField("lang"),),
+    numeric_fields=(NumericField("n"),),
+)
+
+
+def _hits(searcher, query):
+    return [
+        (r["doc_id"], round(r["score"], 6))
+        for r in searcher.match_set({"query": query})
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+
+
+def test_delete_by_id_matches_fresh_build(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("m_base"))
+    deleted = str(tmp_path_factory.mktemp("m_del"))
+    fresh = str(tmp_path_factory.mktemp("m_fresh"))
+    build_index(spark, corpus, SCHEMA, base, num_partitions=2, id_mode="column")
+    drop = [0, 7, 13, 29]
+    idx_del = delete_by_id(spark, base, deleted, drop, num_partitions=2)
+    idx_fresh = build_index(
+        spark, corpus.where(~F.col("doc_id").isin(drop)), SCHEMA, fresh,
+        num_partitions=2, id_mode="column",
+    )
+    # stats fully recomputed
+    assert idx_del.stats["n_docs"] == idx_fresh.stats["n_docs"] == 26
+    assert idx_del.stats["avgdl"] == idx_fresh.stats["avgdl"]
+    s_del, s_fresh = Searcher(idx_del), Searcher(idx_fresh)
+    for q in ("alpha", "beta gamma", "delta"):
+        assert _hits(s_del, q) == _hits(s_fresh, q)
+    # deleted ids are gone everywhere
+    assert idx_del.docs().where(F.col("doc_id").isin(drop)).count() == 0
+    assert idx_del.postings().where(F.col("doc_id").isin(drop)).count() == 0
+    # kernel path agrees post-delete
+    out = s_del.topk({"query": "alpha beta", "execution": "bmw"}, 5).collect()
+    brute = s_del.topk({"query": "alpha beta", "execution": "bm25"}, 5).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in out] == [
+        (r["doc_id"], round(r["score"], 6)) for r in brute
+    ]
+
+
+def test_compact_is_identity(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("c_base"))
+    out = str(tmp_path_factory.mktemp("c_out"))
+    idx = build_index(spark, corpus, SCHEMA, base, num_partitions=2,
+                      id_mode="column")
+    idx2 = compact(spark, base, out, num_partitions=2)
+    assert idx2.stats == idx.stats
+    assert _hits(Searcher(idx2), "alpha gamma") == _hits(Searcher(idx), "alpha gamma")
+    assert idx2.manifest["lineage"]["compacted_from"] == base

@@ -117,3 +117,20 @@ def test_sampler_probability_validation(page_index):
     m = page_index.match_set({"query": "alpha"})
     with pytest.raises(ValueError):
         sampler_filter(m, 0.0)
+
+
+def test_percentiles_approximate_path(spark, page_index):
+    """approx_percentile sketch path (the t-digest analogue for >256
+    values) stays within tolerance of the exact path."""
+    from searchlite_spark.query.aggs import percentiles_agg, _matched_docs
+
+    s = page_index
+    m = s.match_set({"query": "alpha"})
+    md = _matched_docs(m, s.docs, ["rank"])
+    exact = {r["percent"]: r["value"]
+             for r in percentiles_agg(md, "rank", [50.0, 95.0]).collect()}
+    approx = {r["percent"]: r["value"]
+              for r in percentiles_agg(md, "rank", [50.0, 95.0],
+                                       approximate=True).collect()}
+    for p in (50.0, 95.0):
+        assert abs(exact[p] - approx[p]) <= 1.0
