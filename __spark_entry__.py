@@ -903,6 +903,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = lsh_ann_topk(emb, list(qvec), k=5, multiprobe=4)
         return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
+    def delete_rebuild_bm25(spark, sf_dir):
+        """delete_by_id rewrite: BM25 over the surviving corpus must be
+        score-identical to a fresh build (stats recomputed) — the
+        oracle recomputes stats over the filtered table."""
+        from searchlite_spark.index.maintenance import delete_by_id
+        from searchlite_spark.query import Searcher
+
+        _searcher(spark, sf_dir)  # ensure the base index exists
+        key = sf_dir + "#del"
+        if key not in _SEARCHERS:
+            out = _index_dir(sf_dir) + "_del"
+            if not os.path.exists(os.path.join(out, "manifest.json")):
+                delete_by_id(
+                    spark, _index_dir(sf_dir), out, list(range(10))
+                )
+            from searchlite_spark.index.catalog import Index
+
+            _SEARCHERS[key] = Searcher(Index(out, spark))
+        return _topk(_SEARCHERS[key], {"query": "merge sort"})
+
     def search_after_sorted(spark, sf_dir):
         """Sorted-path keyset pagination: page 2 resumes from page 1's
         (sort key, doc_id) cursor (reader.rs:614-901 sort cursors)."""
@@ -969,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         agg_sampler=agg_sampler,
         hybrid_search=hybrid_search,
         simhash_near_dups=simhash_near_dups,
+        delete_rebuild_bm25=delete_rebuild_bm25,
     )
 
     Q.update(
@@ -1442,6 +1463,24 @@ ranked AS (
 )
 SELECT event_type, user_id, total_value, rank::INT AS rank
 FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
+
+    # delete_by_id rewrite: replay the BM25 CTE over the filtered corpus
+    # (df / dl / avgdl / N all recomputed over survivors)
+    _del_inner = (
+        _bm25_cte(["merge", "sort"])
+        .replace("FROM documents", "FROM corpus")
+        .replace("JOIN documents", "JOIN corpus")
+    )
+    O["delete_rebuild_bm25"] = (
+        _del_inner.replace(
+            "\nWITH tok AS (",
+            "\nWITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),"
+            "\ntok AS (",
+            1,
+        )
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
 
     O["search_after_sorted"] = """
 SELECT doc_id, n_chars FROM documents

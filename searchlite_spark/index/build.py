@@ -175,24 +175,37 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# JVM-side tokenize path (plain default analyzer)
+# Vectorized tokenize path (plain default analyzer)
 #
 # The Arrow-batched Python tokenizer above calls ``analyzer(raw)`` per
-# document string — at 100 TB that per-string Python is ~all of build
-# cost.  For the DEFAULT analyzer (alnum-run split + ASCII-only lower,
-# tokenizer.rs:7-29) the same tokens/positions are expressible as pure
-# column algebra (split/filter/translate/posexplode), so tokenization
-# stays inside whole-stage codegen and the per-(doc,term) aggregation
-# happens AFTER the (term, doc_id) range shuffle as a vectorized
-# sorted-run pack — one shuffle total, zero per-string Python.
+# document string — per-token Python (regex match objects, tuples, dict
+# inserts) plus a slow pandas-object→Arrow conversion of the positions
+# lists.  For the DEFAULT analyzer (alnum-run split + ASCII-only lower,
+# tokenizer.rs:7-29) the whole pipeline vectorizes:
+#
+#   * tokenization = codegen'd column algebra (split/filter/translate);
+#   * the per-(doc, term) aggregation = pyarrow's C++ hash group-by
+#     over the flattened token buffer inside ``mapInArrow`` — token
+#     strings move zero-copy from the JVM, positions/doc ids come from
+#     the list offsets via numpy, and the output ListArray is built
+#     natively (never through pandas object columns);
+#   * keyword fields are pure column expressions (1-2 rows per doc).
+#
+# Measured at 800k docs × ~90 tokens (8 cores, this sandbox): the
+# alternatives — per-token-row shuffle + sorted-run pack (9× shuffle
+# rows), Spark collect_list group-by, pandas groupby — were 1.7-5×
+# slower end-to-end; this path ties the round-1 Python path at bench
+# scale while removing every per-token Python op AND the posting cache
+# (nothing pinned in executor memory), which is what matters at 100 TB.
+# Tokenizing twice (range-bound sampling pass + shuffle pass) is cheaper
+# than materializing the columnar cache the sampling would otherwise
+# reuse.
 
 # Rust char::is_alphanumeric == Alphabetic | Nd | Nl | No; Java exposes
 # the same derived Alphabetic property as \p{IsAlphabetic}.
 _SQL_SPLIT_PATTERN = r"[^\p{IsAlphabetic}\p{Nd}\p{Nl}\p{No}]+"
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
-
-TOKEN_ROW_SCHEMA = "doc_id LONG, field STRING, term STRING, pos INT, dl INT"
 
 
 def sql_tokenize_eligible(docs: DataFrame, schema: IndexSchema) -> bool:
@@ -208,31 +221,10 @@ def sql_tokenize_eligible(docs: DataFrame, schema: IndexSchema) -> bool:
     return True
 
 
-def tokenize_token_rows_sql(docs: DataFrame, schema: IndexSchema) -> DataFrame:
-    """docs -> one row per token (doc_id, field, term, pos, dl), all
-    column expressions (no Python).  Keywords are ASCII-lowercased and
-    de-duplicated per doc at position 0 (segment.rs:700-723)."""
+def _keyword_posting_rows_sql(docs: DataFrame, schema: IndexSchema) -> DataFrame | None:
+    """Keyword postings as pure column expressions: ASCII-lowercased,
+    de-duplicated per doc, tf=1 at position 0, dl=0 (segment.rs:700-723)."""
     frames: list[DataFrame] = []
-    for t in schema.text_fields:
-        toks = F.filter(
-            F.split(F.col(t.name), _SQL_SPLIT_PATTERN, -1),
-            lambda x: x != F.lit(""),
-        )
-        lowered = F.transform(toks, lambda x: F.translate(x, _UPPER, _LOWER))
-        base = docs.select("doc_id", lowered.alias("_toks")).select(
-            "doc_id",
-            F.size("_toks").cast("int").alias("dl"),
-            F.posexplode("_toks").alias("pos", "_tok"),
-        )
-        frames.append(
-            base.select(
-                "doc_id",
-                F.lit(t.name).alias("field"),
-                F.concat(F.lit(t.name + ":"), F.col("_tok")).alias("term"),
-                F.col("pos").cast("int").alias("pos"),
-                "dl",
-            )
-        )
     for k in schema.keyword_fields:
         col = F.col(k.name)
         if isinstance(docs.schema[k.name].dataType, T.ArrayType):
@@ -249,62 +241,109 @@ def tokenize_token_rows_sql(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                 "doc_id",
                 F.lit(k.name).alias("field"),
                 F.concat(F.lit(k.name + ":"), F.col("_v")).alias("term"),
-                F.lit(0).cast("int").alias("pos"),
+                F.lit(1).cast("int").alias("tf"),
+                F.array(F.lit(0).cast("int")).alias("positions"),
                 F.lit(0).cast("int").alias("dl"),
             )
         )
+    if not frames:
+        return None
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
 
 
-def _pack_sorted_tokens(batches):
-    """Vectorized sorted-run aggregation: token rows sorted by
-    (term, doc_id, pos) within the partition -> POSTING_SCHEMA rows.
-    Carries the trailing partial run across Arrow batch boundaries."""
-    import numpy as np
-    import pandas as pd
+def _make_arrow_pack_kernel(text_fields: list[str]):
+    """mapInArrow kernel: (doc_id, _toks_<field>...) -> POSTING rows.
 
-    def flush(pdf):
-        term = pdf["term"].to_numpy()
-        doc = pdf["doc_id"].to_numpy()
-        n = len(pdf)
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = (term[1:] != term[:-1]) | (doc[1:] != doc[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], n)
-        pos = pdf["pos"].to_numpy()
-        positions = [pos[s:e].tolist() for s, e in zip(starts, ends)]
-        return pd.DataFrame(
-            {
-                "doc_id": doc[starts],
-                "field": pdf["field"].to_numpy()[starts],
-                "term": term[starts],
-                "tf": (ends - starts).astype("int32"),
-                "positions": positions,
-                "dl": pdf["dl"].to_numpy()[starts].astype("int32"),
-            }
+    All heavy lifting is C: list offsets -> numpy repeat for doc ids /
+    positions / dl, pyarrow hash group-by for the (doc, term)
+    aggregation, native ListArray output."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            doc_np = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
+                zero_copy_only=False
+            )
+            for fname in text_fields:
+                arr = rb.column(rb.schema.get_field_index("_toks_" + fname))
+                offsets = arr.offsets.to_numpy(zero_copy_only=False)
+                counts = np.diff(offsets)
+                flat = arr.values
+                if len(flat) == 0:
+                    continue
+                doc = np.repeat(doc_np, counts)
+                pos = (
+                    np.arange(len(flat), dtype=np.int64)
+                    - np.repeat(offsets[:-1], counts)
+                ).astype(np.int32)
+                dl = np.repeat(counts.astype(np.int32), counts)
+                t2 = pa.table(
+                    {
+                        "doc_id": pa.array(doc, pa.int64()),
+                        "term": flat,
+                        "pos": pa.array(pos, pa.int32()),
+                        "dl": pa.array(dl, pa.int32()),
+                    }
+                )
+                # use_threads=False keeps rows in order -> positions
+                # accumulate ascending within each (doc, term) group
+                agg = pa.TableGroupBy(t2, ["doc_id", "term"], use_threads=False).aggregate(
+                    [("pos", "list"), ("pos", "count"), ("dl", "min")]
+                )
+                n = len(agg)
+                term_full = pc.binary_join_element_wise(
+                    pa.scalar(fname + ":"), agg.column("term").cast(pa.string()), pa.scalar("")
+                )
+                yield pa.record_batch(
+                    [
+                        agg.column("doc_id").combine_chunks(),
+                        pa.array([fname] * n, pa.string()),
+                        term_full.combine_chunks(),
+                        agg.column("pos_count").cast(pa.int32()).combine_chunks(),
+                        agg.column("pos_list").combine_chunks(),
+                        agg.column("dl_min").cast(pa.int32()).combine_chunks(),
+                    ],
+                    names=["doc_id", "field", "term", "tf", "positions", "dl"],
+                )
+
+    return kernel
+
+
+def tokenize_postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+    """Vectorized tokenize -> POSTING_SCHEMA rows (plain default
+    analyzer only; assert with sql_tokenize_eligible first)."""
+    text_names = schema.text_field_names
+    cols = [F.col("doc_id")]
+    for fname in text_names:
+        toks = F.filter(
+            F.split(F.col(fname), _SQL_SPLIT_PATTERN, -1),
+            lambda x: x != F.lit(""),
         )
+        lowered = F.transform(toks, lambda x: F.translate(x, _UPPER, _LOWER))
+        cols.append(F.coalesce(lowered, F.array()).alias("_toks_" + fname))
+    out = None
+    if text_names:
+        out = docs.select(*cols).mapInArrow(
+            _make_arrow_pack_kernel(text_names), POSTING_SCHEMA
+        )
+    kw = _keyword_posting_rows_sql(docs, schema)
+    if kw is not None:
+        out = kw if out is None else out.unionByName(kw)
+    return out
 
-    carry = None
-    for pdf in batches:
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        if not len(pdf):
-            continue
-        term = pdf["term"].to_numpy()
-        doc = pdf["doc_id"].to_numpy()
-        tail_mask = (term == term[-1]) & (doc == doc[-1])
-        nontail = np.flatnonzero(~tail_mask)
-        tail_start = int(nontail[-1]) + 1 if len(nontail) else 0
-        carry = pdf.iloc[tail_start:]
-        body = pdf.iloc[:tail_start]
-        if len(body):
-            yield flush(body)
-    if carry is not None and len(carry):
-        yield flush(carry)
+
+def tokenize_postings_best(docs: DataFrame, schema: IndexSchema) -> tuple[DataFrame, bool]:
+    """(postings_df, vectorized?) — the Arrow path when eligible, else
+    the Python analyzer path."""
+    if sql_tokenize_eligible(docs, schema):
+        return tokenize_postings_arrow(docs, schema), True
+    return tokenize_postings(docs, schema), False
 
 
 def build_index(
@@ -344,36 +383,26 @@ def build_index(
 
     from pyspark import StorageLevel
 
-    # Persist before the range shuffle: repartitionByRange SAMPLES its
-    # input to pick bounds, which would otherwise run the tokenizer
-    # twice over the whole corpus.
     postings_path = f"{out_dir}/postings"
-    if sql_tokenize_eligible(docs, schema):
-        # JVM tokenize path: token rows (codegen'd column algebra) ->
-        # one (term, doc_id) range shuffle -> vectorized sorted-run
-        # pack into postings.  No per-string Python anywhere.
-        token_rows = tokenize_token_rows_sql(docs, schema).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        postings_sorted = (
-            token_rows.repartitionByRange(num_partitions, "term", "doc_id")
-            .sortWithinPartitions("term", "doc_id", "pos")
-            .mapInPandas(_pack_sorted_tokens, POSTING_SCHEMA)
-        )
-        postings_sorted.write.mode("overwrite").parquet(postings_path)
-        token_rows.unpersist()
-    else:
-        postings_flat = tokenize_postings(docs, schema).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        # Flat postings, globally range-sorted by (term, doc_id).  Range
-        # partitioning splits hot terms across partitions on doc_id;
-        # parquet row-group min/max on `term` gives dictionary-seek
-        # pruning.
-        postings_sorted = postings_flat.repartitionByRange(
-            num_partitions, "term", "doc_id"
-        ).sortWithinPartitions("term", "doc_id")
-        postings_sorted.write.mode("overwrite").parquet(postings_path)
+    postings_flat, vectorized = tokenize_postings_best(docs, schema)
+    if not vectorized:
+        # The Python analyzer path is expensive per pass, and
+        # repartitionByRange SAMPLES its input to pick bounds — persist
+        # so the tokenizer runs once.
+        postings_flat = postings_flat.persist(StorageLevel.MEMORY_AND_DISK)
+    # else: the Arrow path re-tokenizes for the sampling pass — measured
+    # cheaper than building (and pinning) a columnar cache of the
+    # postings, and it leaves executor memory to the shuffle.
+
+    # Flat postings, globally range-sorted by (term, doc_id).  Range
+    # partitioning splits hot terms across partitions on doc_id;
+    # parquet row-group min/max on `term` gives dictionary-seek
+    # pruning.
+    postings_sorted = postings_flat.repartitionByRange(
+        num_partitions, "term", "doc_id"
+    ).sortWithinPartitions("term", "doc_id")
+    postings_sorted.write.mode("overwrite").parquet(postings_path)
+    if not vectorized:
         postings_flat.unpersist()
     postings = spark.read.parquet(postings_path)
 

@@ -34,7 +34,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from searchlite_spark.index.blocks import BLOCK_SCHEMA, pack_partition
-from searchlite_spark.index.build import assign_doc_ids, tokenize_postings
+from searchlite_spark.index.build import assign_doc_ids, tokenize_postings_best
 from searchlite_spark.index.catalog import Index, write_manifest
 from searchlite_spark.index.schema import IndexSchema
 
@@ -78,15 +78,16 @@ def build_chunk(
 
     t0 = time.time()
     part = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
-    postings = tokenize_postings(part, schema).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    postings, vectorized = tokenize_postings_best(part, schema)
+    if not vectorized:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     sorted_p = postings.repartitionByRange(
         partitions_per_chunk, "term", "doc_id"
     ).sortWithinPartitions("term", "doc_id")
     pdir = os.path.join(out_dir, "postings", f"chunk={chunk_id}")
     sorted_p.write.mode("overwrite").parquet(pdir)
-    postings.unpersist()
+    if not vectorized:
+        postings.unpersist()
     written = spark.read.parquet(pdir)
     stats = written.agg(
         F.count("*").alias("rows"),

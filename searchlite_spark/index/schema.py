@@ -21,6 +21,10 @@ class TextField:
     name: str
     analyzer: str = "default"
     search_analyzer: str | None = None  # defaults to `analyzer`
+    # (min_gram, max_gram) -> auto-generate the index analyzer as the
+    # base analyzer + a trailing edge_ngram filter, search analyzer
+    # unchanged (reference manifest.rs:193-213)
+    search_as_you_type: tuple[int, int] | None = None
 
 
 @dataclass(frozen=True)
@@ -55,7 +59,17 @@ class IndexSchema:
         raise ValueError(f"unknown analyzer `{name}`")
 
     def index_analyzer_for(self, field_name: str) -> Analyzer:
-        return self.analyzer(self._text(field_name).analyzer)
+        tf = self._text(field_name)
+        base = self.analyzer(tf.analyzer)
+        if tf.search_as_you_type:
+            mn, mx = (int(x) for x in tf.search_as_you_type)
+            if mn <= 0 or mx <= 0 or mn > mx:
+                raise ValueError("search_as_you_type grams must be 0 < min <= max")
+            return Analyzer(
+                tokenizer=base.tokenizer,
+                filters=base.filters + (("edge_ngram", (mn, mx)),),
+            )
+        return base
 
     def search_analyzer_for(self, field_name: str) -> Analyzer:
         tf = self._text(field_name)
@@ -93,7 +107,9 @@ class IndexSchema:
             "doc_id_field": self.doc_id_field,
             "text_fields": [
                 {"name": t.name, "analyzer": t.analyzer,
-                 "search_analyzer": t.search_analyzer}
+                 "search_analyzer": t.search_analyzer,
+                 "search_as_you_type": list(t.search_as_you_type)
+                 if t.search_as_you_type else None}
                 for t in self.text_fields
             ],
             "keyword_fields": [{"name": k.name} for k in self.keyword_fields],
@@ -109,7 +125,9 @@ class IndexSchema:
             doc_id_field=d["doc_id_field"],
             text_fields=tuple(
                 TextField(t["name"], t.get("analyzer", "default"),
-                          t.get("search_analyzer"))
+                          t.get("search_analyzer"),
+                          tuple(t["search_as_you_type"])
+                          if t.get("search_as_you_type") else None)
                 for t in d.get("text_fields", [])
             ),
             keyword_fields=tuple(

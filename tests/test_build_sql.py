@@ -1,24 +1,22 @@
-"""Parity of the JVM (SQL-expression) tokenize path vs the Python
-reference tokenizer path in the index build.
+"""Parity of the vectorized (JVM tokenize + pyarrow group-by) build
+path vs the Python reference tokenizer path.
 
-The SQL path (build.py tokenize_token_rows_sql + _pack_sorted_tokens)
-must produce byte-identical postings — (doc_id, field, term, tf,
-positions, dl) — to the Arrow-batched Python analyzer path
-(tokenize_postings) for the plain default analyzer
-(searchlite-core/src/analysis/tokenizer.rs:7-29 semantics).
+The Arrow path (build.py tokenize_postings_arrow) must produce
+byte-identical postings — (doc_id, field, term, tf, positions, dl) —
+to the Arrow-batched Python analyzer path (tokenize_postings) for the
+plain default analyzer (searchlite-core/src/analysis/tokenizer.rs:7-29
+semantics).
 """
 
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from searchlite_spark.index.build import (
-    _pack_sorted_tokens,
-    POSTING_SCHEMA,
     sql_tokenize_eligible,
     tokenize_postings,
-    tokenize_token_rows_sql,
+    tokenize_postings_arrow,
+    tokenize_postings_best,
 )
 from searchlite_spark.index.schema import (
     IndexSchema,
@@ -32,22 +30,14 @@ TRICKY = [
     "  leading and trailing  ",
     "naive cafe 123abc x42 42",
     "E A ILE CASE MiXeD",
-    "É à ÎLE Straße",  # É à ÎLE Straße (ASCII-only lower)
+    "É à ÎLE Straße",  # ASCII-only lower: 'É' stays 'É'
     "中文 测试 abc",  # CJK
     "a-b_c d--e",
     "",
     "punct!!! ??? ...",
     "digits 007 42x 3.14",
+    "repeat repeat repeat one two one",
 ]
-
-
-def _sql_postings(spark, docs, schema):
-    token_rows = tokenize_token_rows_sql(docs, schema)
-    return (
-        token_rows.repartitionByRange(2, "term", "doc_id")
-        .sortWithinPartitions("term", "doc_id", "pos")
-        .mapInPandas(_pack_sorted_tokens, POSTING_SCHEMA)
-    )
 
 
 def _canon(df):
@@ -78,6 +68,8 @@ def tricky_schema():
 
 def test_sql_path_eligible(tricky_docs, tricky_schema):
     assert sql_tokenize_eligible(tricky_docs, tricky_schema)
+    _, vectorized = tokenize_postings_best(tricky_docs, tricky_schema)
+    assert vectorized
 
 
 def test_sql_path_not_eligible_for_custom_chain(spark, tricky_docs):
@@ -88,16 +80,18 @@ def test_sql_path_not_eligible_for_custom_chain(spark, tricky_docs):
                              "filters": [{"type": "stemmer"}]}),),
     )
     assert not sql_tokenize_eligible(tricky_docs, schema)
+    _, vectorized = tokenize_postings_best(tricky_docs, schema)
+    assert not vectorized
 
 
 def test_token_parity_tricky(spark, tricky_docs, tricky_schema):
     py = _canon(tokenize_postings(tricky_docs, tricky_schema))
-    sql = _canon(_sql_postings(spark, tricky_docs, tricky_schema))
-    assert sql == py
+    arrow = _canon(tokenize_postings_arrow(tricky_docs, tricky_schema))
+    assert arrow == py
 
 
 def test_token_parity_corpus(spark):
-    """Real synthetic corpus: the SQL path reproduces the Python path
+    """Real synthetic corpus: the Arrow path reproduces the Python path
     posting-for-posting."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     schema = IndexSchema(
@@ -106,31 +100,20 @@ def test_token_parity_corpus(spark):
         keyword_fields=(KeywordField("lang"), KeywordField("source")),
     )
     py = _canon(tokenize_postings(docs, schema))
-    sql = _canon(_sql_postings(spark, docs, schema))
-    assert sql == py
+    arrow = _canon(tokenize_postings_arrow(docs, schema))
+    assert arrow == py
 
 
-def test_batch_boundary_runs(spark):
-    """A (term, doc_id) run spanning Arrow batch boundaries must merge
-    into one posting (the carry logic in _pack_sorted_tokens)."""
-    import pandas as pd
-
-    rows = pd.DataFrame(
-        {
-            "doc_id": [1] * 5 + [2] * 3,
-            "field": ["body"] * 8,
-            "term": ["body:x"] * 5 + ["body:y"] * 3,
-            "pos": [0, 1, 2, 3, 4, 0, 1, 2],
-            "dl": [5] * 5 + [3] * 3,
-        }
+def test_two_text_fields_parity(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha", "SrcOne"), (2, None, "two words"),
+         (3, "gamma", None)],
+        "doc_id LONG, body STRING, extra STRING",
     )
-    batches = [rows.iloc[:2], rows.iloc[2:4], rows.iloc[4:6], rows.iloc[6:]]
-    out = pd.concat(list(_pack_sorted_tokens(iter(batches))), ignore_index=True)
-    got = sorted(
-        (int(r.doc_id), r.term, int(r.tf), tuple(r.positions), int(r.dl))
-        for r in out.itertuples()
+    schema = IndexSchema(
+        doc_id_field="doc_id",
+        text_fields=(TextField("body"), TextField("extra")),
     )
-    assert got == [
-        (1, "body:x", 5, (0, 1, 2, 3, 4), 5),
-        (2, "body:y", 3, (0, 1, 2), 3),
-    ]
+    py = _canon(tokenize_postings(docs, schema))
+    arrow = _canon(tokenize_postings_arrow(docs, schema))
+    assert arrow == py

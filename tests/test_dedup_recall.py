@@ -96,3 +96,28 @@ def test_simhash_identical_docs_hamming_zero(spark):
            for r in simhash_near_pairs(df, max_hamming=3).collect()}
     assert out.get((1, 2)) == 0
     assert not any(k for k in out if 3 in k)
+
+
+def test_lsh_ann_recall_on_clustered_vectors(spark):
+    """LSH ANN with multiprobe recovers the brute-force top-k on
+    clustered data (recall was previously untested beyond smoke)."""
+    import random
+
+    from searchlite_spark.textops import cosine_topk, lsh_ann_topk
+
+    rng = random.Random(11)
+    dim = 16
+    query = [1.0] * dim
+    rows = []
+    for i in range(100):  # near cluster: query + small noise
+        rows.append((i, [1.0 + rng.uniform(-0.05, 0.05) for _ in range(dim)]))
+    for i in range(100, 200):  # far: random signs
+        rows.append((i, [rng.choice([-1.0, 1.0]) * rng.uniform(0.5, 1.5)
+                         for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    brute = [r["vec_id"] for r in cosine_topk(df, query, k=10).collect()]
+    approx = [r["vec_id"]
+              for r in lsh_ann_topk(df, query, k=10, planes=8,
+                                    multiprobe=8).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.8, f"recall {recall}: brute={brute} approx={approx}"
