@@ -51,7 +51,11 @@ _b(spark, corpus.limit(2000), corpus_index_schema(), out + "_warm",
 t0 = time.time()
 idx = build_index(spark, corpus, corpus_index_schema(), out, id_mode="column",
                   num_partitions=PARTS,
-                  store_columns=["url", "warc_ts", "text", "lang", "warc_ts_ms"])
+                  store_columns=["url", "warc_ts", "text", "lang", "warc_ts_ms"],
+                  # the synthetic corpus is written doc_id-clustered
+                  # (spark.range partitions), like an id-partitioned
+                  # Iceberg lake table: straight-copy the docstore
+                  docs_layout="copy")
 secs = time.time() - t0
 print(json.dumps({{"cores": cores, "secs": secs, "n_docs": idx.stats["n_docs"]}}))
 spark.stop()

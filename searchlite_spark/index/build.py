@@ -266,6 +266,17 @@ def _make_arrow_pack_kernel(text_fields: list[str]):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        # one Spark task slot == one CPU: pyarrow's default pool spawns
+        # os.cpu_count() threads PER python worker, so 8 concurrent
+        # tasks would run 8×32 compute threads — oversubscription that
+        # destroys multi-core scaling.  Pin to 1; Spark provides the
+        # parallelism.
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
+
         for rb in batches:
             doc_np = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
                 zero_copy_only=False
@@ -358,6 +369,7 @@ def build_index(
     input_snapshot: str | None = None,
     id_mode: str = "assign",
     store_columns: list[str] | None = None,
+    docs_layout: str = "range",
 ) -> Index:
     """id_mode="assign": dense doc ids in doc-key string order (the
     reference's BTreeMap commit order, writer.rs:126-189).
@@ -365,7 +377,12 @@ def build_index(
     use it directly (saves the global ordering pass).
     store_columns: restrict the docs table (docstore) to these columns —
     e.g. exclude raw `html` blobs that live in the source lake anyway
-    (the reference's stored:false flag, manifest.rs)."""
+    (the reference's stored:false flag, manifest.rs).
+    docs_layout: "range" re-sorts the docstore by doc_id (row-group
+    pruning for top-k fetches); "copy" writes a straight projection with
+    NO shuffle — use when the input is already doc_id-clustered (e.g. an
+    Iceberg table partitioned/ordered on the id), which at 100 TB is the
+    only sane choice: never re-shuffle the raw-text lake."""
     t0 = time.time()
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -416,9 +433,12 @@ def build_index(
     if store_columns is not None:
         keep = ["doc_id"] + [c for c in store_columns if c in docs.columns]
         docs_store = docs.select(*dict.fromkeys(keep))
-    docs_store.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
-        "doc_id"
-    ).write.mode("overwrite").parquet(docs_path)
+    if docs_layout == "copy":
+        docs_store.write.mode("overwrite").parquet(docs_path)
+    else:
+        docs_store.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ).write.mode("overwrite").parquet(docs_path)
 
     # Term dictionary: df / collection frequency / max tf.  Map-side
     # partial aggregation absorbs head-term skew.
