@@ -1004,7 +1004,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash=simhash_q,
         lsh_ann_topk=lsh_ann_q,
     )
-    return Q
+    # The driver checks the FIRST 50 entries in insertion order.  Defer
+    # 12 queries that are (a) green in CORRECTNESS_r02 and (b) redundant
+    # with an in-window cousin, so the 12 entries that never got a
+    # driver row (pipeline ops, delete-rebuild, simhash retrieval) land
+    # inside the window this round.  Deferred ≠ dropped: they stay
+    # registered (and pytest-covered), just after position 50.
+    _deferred = [
+        "bm25_single_term_bmw",  # bm25_single_term + bm25_topk_bmw in-window
+        "bm25_topk_wand",        # bm25_topk_bmw covers the kernel path
+        "multi_match_most",      # multi_match_best in-window
+        "match_sorted",          # search_after_sorted covers sort plans
+        "constant_score_filter", # bm25_filter_lang / nested_filter cover filters
+        "agg_stats_nchars",      # agg_extended_stats is a superset
+        "agg_value_count",       # ditto
+        "agg_range_nchars",      # agg_histogram + agg_date_range cover ranges
+        "agg_cardinality_source",
+        "percentile_ranks_nchars",  # agg_percentiles in-window
+        "events_bucket_stats",   # derivative/moving_avg/bucket_script in-window
+        "events_top_users",      # events_type_daily covers window functions
+    ]
+    ordered = {k: v for k, v in Q.items() if k not in _deferred}
+    ordered.update({k: Q[k] for k in _deferred if k in Q})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -11,10 +11,13 @@ The Spark-first re-expression of the reference's segment write
    partial postings (tf + positions) — the per-doc aggregation happens
    inside the pandas batch, so the shuffle moves (doc,term) rows, not
    raw tokens;
-3. a range repartition by (term, doc_id) producing globally
-   term-sorted flat postings — hot head terms ("the") are split across
-   partitions by the (term, doc_id) composite range, which defuses
-   head-term skew without salting on this path;
+3. ONE deterministic shuffle of the flat postings by
+   hash(term, doc-id-chunk) + a per-partition (term, doc_id) sort —
+   the doc-chunk salt splits hot head terms ("the") across
+   ~num_partitions reducers, rare terms stay whole, every parquet row
+   group covers a tight term range (min/max pruning = dictionary
+   seek), and — unlike a range repartition — no sampling job re-runs
+   the tokenize lineage;
 4. the term dictionary and global stats via partial/final hash
    aggregation (map-side combine absorbs head-term skew);
 5. block-packed postings with block-max metadata + delta+varint
@@ -194,16 +197,21 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
 # Measured at 800k docs × ~90 tokens (8 cores, this sandbox): the
 # alternatives — per-token-row shuffle + sorted-run pack (9× shuffle
 # rows), Spark collect_list group-by, pandas groupby — were 1.7-5×
-# slower end-to-end; this path ties the round-1 Python path at bench
-# scale while removing every per-token Python op AND the posting cache
-# (nothing pinned in executor memory), which is what matters at 100 TB.
-# Tokenizing twice (range-bound sampling pass + shuffle pass) is cheaper
-# than materializing the columnar cache the sampling would otherwise
-# reuse.
+# slower end-to-end.  Round-3 re-measurement at 2.4M docs: the Arrow
+# path tokenizes 2.6× faster than the Python analyzer path, and the
+# tokenize output is persisted (MEMORY_AND_DISK) before the range
+# shuffle so the partitioner's sampling pass does NOT re-run the
+# tokenize lineage (the round-2 double-tokenize was ~45% of build wall
+# time and flattened the N->4N scaling curve).
 
-# Rust char::is_alphanumeric == Alphabetic | Nd | Nl | No; Java exposes
-# the same derived Alphabetic property as \p{IsAlphabetic}.
-_SQL_SPLIT_PATTERN = r"[^\p{IsAlphabetic}\p{Nd}\p{Nl}\p{No}]+"
+# Must mirror the PYTHON query-time analyzer exactly (tokenizers.py
+# _ALNUM_RUN == str.isalnum == L* ∪ Nd ∪ Nl ∪ No).  NOT Java's
+# \p{IsAlphabetic}: that derived property additionally includes
+# Other_Alphabetic combining marks (Devanagari matras, Thai vowels,
+# Hebrew niqqud, Arabic harakat), so the index path would keep words
+# whole where query analysis splits them — zero recall on those
+# scripts (round-2 advice, verified with 'नमस्ते दुनिया').
+_SQL_SPLIT_PATTERN = r"[^\p{L}\p{Nd}\p{Nl}\p{No}]+"
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 
@@ -285,9 +293,12 @@ def _make_arrow_pack_kernel(text_fields: list[str]):
                 arr = rb.column(rb.schema.get_field_index("_toks_" + fname))
                 offsets = arr.offsets.to_numpy(zero_copy_only=False)
                 counts = np.diff(offsets)
-                flat = arr.values
-                if len(flat) == 0:
+                if len(arr.values) == 0:
                     continue
+                # ASCII-only lowercase (A-Z only; 'É' stays 'É' like the
+                # reference's to_ascii_lowercase) — vectorized C here is
+                # cheaper than translate()/transform() on the JVM side
+                flat = pc.ascii_lower(arr.values)
                 doc = np.repeat(doc_np, counts)
                 pos = (
                     np.arange(len(flat), dtype=np.int64)
@@ -332,12 +343,16 @@ def tokenize_postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     text_names = schema.text_field_names
     cols = [F.col("doc_id")]
     for fname in text_names:
+        # JVM side does ONLY split+filter; the ASCII-only lowercase
+        # happens in the kernel via pyarrow's ascii_lower (vectorized C,
+        # exactly the reference's to_ascii_lowercase semantics —
+        # tokenizer.rs:7-29).  Measured: JVM translate() added ~45% to
+        # the tokenize stage; transform(translate) per element was 2x.
         toks = F.filter(
             F.split(F.col(fname), _SQL_SPLIT_PATTERN, -1),
             lambda x: x != F.lit(""),
         )
-        lowered = F.transform(toks, lambda x: F.translate(x, _UPPER, _LOWER))
-        cols.append(F.coalesce(lowered, F.array()).alias("_toks_" + fname))
+        cols.append(F.coalesce(toks, F.array()).alias("_toks_" + fname))
     out = None
     if text_names:
         out = docs.select(*cols).mapInArrow(
@@ -370,6 +385,7 @@ def build_index(
     id_mode: str = "assign",
     store_columns: list[str] | None = None,
     docs_layout: str = "range",
+    postings_layout: str = "hash",
 ) -> Index:
     """id_mode="assign": dense doc ids in doc-key string order (the
     reference's BTreeMap commit order, writer.rs:126-189).
@@ -382,8 +398,25 @@ def build_index(
     pruning for top-k fetches); "copy" writes a straight projection with
     NO shuffle — use when the input is already doc_id-clustered (e.g. an
     Iceberg table partitioned/ordered on the id), which at 100 TB is the
-    only sane choice: never re-shuffle the raw-text lake."""
+    only sane choice: never re-shuffle the raw-text lake.
+    postings_layout: "hash" (default) shuffles postings by
+    hash(term, doc_id-chunk) — one deterministic exchange, no sampling
+    job, head terms split across ~num_partitions chunks (skew defused),
+    each partition term-sorted so parquet row-group min/max still gives
+    dictionary-seek pruning.  "range" is the round-2 layout
+    (repartitionByRange by (term, doc_id)) — globally term-sorted files,
+    but the range partitioner's SAMPLING job forces either a second
+    tokenize pass or a full cache scan; measured slower at every scale
+    tried, kept for comparison."""
     t0 = time.time()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        phases[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -397,31 +430,42 @@ def build_index(
         docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
     docs = docs.persist()
     n_docs = docs.count()
+    _mark("ids")
 
     from pyspark import StorageLevel
 
     postings_path = f"{out_dir}/postings"
     postings_flat, vectorized = tokenize_postings_best(docs, schema)
-    if not vectorized:
-        # The Python analyzer path is expensive per pass, and
-        # repartitionByRange SAMPLES its input to pick bounds — persist
-        # so the tokenizer runs once.
+    if postings_layout == "hash":
+        # Single deterministic exchange: hash(term, doc-chunk).  The
+        # doc-chunk salt splits a head term ("the", df≈n_docs) across
+        # ~num_partitions reducers — no single task ever owns a whole
+        # hot posting list — while rare terms stay whole.  Within each
+        # partition rows are (term, doc_id)-sorted, so every parquet
+        # row group covers one tight term range (min/max pruning seeks
+        # like a term dictionary) and doc ids are ascending per term
+        # (delta encoding + block packing need nothing else).  Unlike
+        # repartitionByRange there is NO sampling job, so the tokenize
+        # lineage runs exactly once with no cache materialization.
+        chunk_w = max(n_docs // num_partitions, 1)
+        salt = (F.col("doc_id") / F.lit(int(chunk_w))).cast("long")
+        postings_sorted = postings_flat.repartition(
+            num_partitions, F.col("term"), salt
+        ).sortWithinPartitions("term", "doc_id")
+        postings_sorted.write.mode("overwrite").parquet(postings_path)
+    else:
+        # round-2 layout: globally range-sorted files.  The range
+        # partitioner SAMPLES its child, which would re-run the whole
+        # tokenize lineage (measured ~45% of round-2 build wall time) —
+        # persist so the tokenizer runs once.
         postings_flat = postings_flat.persist(StorageLevel.MEMORY_AND_DISK)
-    # else: the Arrow path re-tokenizes for the sampling pass — measured
-    # cheaper than building (and pinning) a columnar cache of the
-    # postings, and it leaves executor memory to the shuffle.
-
-    # Flat postings, globally range-sorted by (term, doc_id).  Range
-    # partitioning splits hot terms across partitions on doc_id;
-    # parquet row-group min/max on `term` gives dictionary-seek
-    # pruning.
-    postings_sorted = postings_flat.repartitionByRange(
-        num_partitions, "term", "doc_id"
-    ).sortWithinPartitions("term", "doc_id")
-    postings_sorted.write.mode("overwrite").parquet(postings_path)
-    if not vectorized:
+        postings_sorted = postings_flat.repartitionByRange(
+            num_partitions, "term", "doc_id"
+        ).sortWithinPartitions("term", "doc_id")
+        postings_sorted.write.mode("overwrite").parquet(postings_path)
         postings_flat.unpersist()
     postings = spark.read.parquet(postings_path)
+    _mark("postings")
 
     # docs table = the docstore + fast fields (corpus columns + doc_id).
     # Per-doc lengths live denormalized in postings/blocks (`dl`), so no
@@ -439,6 +483,7 @@ def build_index(
         docs_store.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
             "doc_id"
         ).write.mode("overwrite").parquet(docs_path)
+    _mark("docs")
 
     # Term dictionary: df / collection frequency / max tf.  Map-side
     # partial aggregation absorbs head-term skew.
@@ -457,6 +502,7 @@ def build_index(
         .parquet(terms_path)
     )
     terms_df = spark.read.parquet(terms_path)
+    _mark("terms")
 
     # Global stats (single-segment scope): avgdl = f32(Σ dl) / f32(N)
     # (segment.rs compute_avg_lengths).  Σ dl per field = Σ tf = Σ cf —
@@ -472,6 +518,7 @@ def build_index(
         else []
     )
     totals = {f"total_{r['field']}": r["total"] for r in totals_rows}
+    _mark("totals")
     import numpy as np
 
     avgdl = {
@@ -495,6 +542,7 @@ def build_index(
             spark, postings, f"{out_dir}/blocks", block_size=block_size,
             num_partitions=num_partitions,
         )
+        _mark("blocks")
 
     build_secs = time.time() - t0
     manifest = {
@@ -507,6 +555,7 @@ def build_index(
             "n_docs": int(n_docs),
             "docs_per_sec": round(n_docs / build_secs, 1) if build_secs else None,
             "num_partitions": num_partitions,
+            "phase_secs": phases,
         },
         "lineage": {
             "input_snapshot": input_snapshot,

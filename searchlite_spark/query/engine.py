@@ -86,6 +86,12 @@ class Searcher:
         self.expander = DictionaryExpander(self.terms)
         self.k1 = K1_DEFAULT
         self.b = B_DEFAULT
+        # index generation for cursor staleness checks (the reference
+        # rejects cursors from another index generation,
+        # reader.rs:821-869): lineage built_at + doc count is unique per
+        # (re)build in practice
+        lineage = (index.manifest or {}).get("lineage", {})
+        self.generation = f"{lineage.get('built_at')}/{self.stats.get('n_docs')}"
         self.last_execution: str | None = None
         self.last_wand_counters: dict | None = None
 
@@ -100,6 +106,11 @@ class Searcher:
         limit = int(request.get("limit", DEFAULT_LIMIT))
         if limit <= 0:
             raise ValueError("limit must be > 0")
+        import time as _time
+
+        self._profile_t0 = _time.time()
+        self._last_candidates = 0
+        self.last_wand_counters = None  # search() is the brute path
         scored = self._matched_scored(request)
         scored = scored.persist()
         try:
@@ -144,7 +155,7 @@ class Searcher:
         search_after = request.get("search_after")
         if search_after:
             scored = self._apply_search_after(scored, sort, search_after)
-        ordered = self._apply_sort(scored, sort)
+        ordered = self._apply_sort(scored, sort, keep_keys=True)
         if request.get("rescore"):
             combined = PP.rescore_hits(self, ordered, request["rescore"], limit)
             ordered = combined.orderBy(
@@ -189,7 +200,7 @@ class Searcher:
 
         hits = []
         for r in rows:
-            d = dict(r)
+            d = {k: v for k, v in r.items() if not k.startswith("_sk_")}
             ckey = d.pop("_ckey", None)
             hit = {
                 "doc_id": d.pop("doc_id"),
@@ -245,26 +256,59 @@ class Searcher:
             )
 
         if request.get("profile"):
-            resp["profile"] = {
+            import time as _time
+
+            # reference profile counters (reader.rs:115-129):
+            # scored_docs / candidates_examined / search_ms, plus the
+            # WAND/BMW pruning counters when a kernel execution ran
+            prof = {
                 "total_matches": total,
                 "returned": len(hits),
+                "scored_docs": total,
+                "candidates_examined": getattr(self, "_last_candidates", 0),
+                "search_ms": round(
+                    (_time.time() - getattr(self, "_profile_t0", _time.time()))
+                    * 1000.0,
+                    1,
+                ),
             }
+            if self.last_wand_counters:
+                try:
+                    prof["pruning"] = {
+                        k: int(v.value) for k, v in self.last_wand_counters.items()
+                    }
+                except Exception:
+                    pass
+            resp["profile"] = prof
         if hits:
             # cursor = the last hit's sort-key tuple + doc_id; feeding it
             # back as `search_after` resumes exactly after this page on
-            # any sort plan (reader.rs sort-path cursors)
+            # any sort plan (reader.rs sort-path cursors).  Values come
+            # from the COMPUTED _sk_<i> columns carried through the sort
+            # (not the docstore row — the sort field may not be stored).
             cursor = []
             last = rows[-1]
-            for fld, order in self._sort_specs(sort):
+            for i, (fld, order) in enumerate(self._sort_specs(sort)):
                 if fld == "_score":
                     cursor.append(hits[-1]["score"])
-                else:
+                elif f"_sk_{i}" in last:
+                    cursor.append(last[f"_sk_{i}"])
+                else:  # fallback (rescore may rebuild the frame)
                     v = last.get(fld)
                     if isinstance(v, list):
-                        v = (min(v) if order == "asc" else max(v)) if v else None
+                        vv = [x for x in v if x is not None]
+                        v = (min(vv) if order == "asc" else max(vv)) if vv else None
                     cursor.append(v)
             cursor.append(hits[-1]["doc_id"])
             resp["next_search_after"] = cursor
+            # generation-tagged cursor (reader.rs:821-869 staleness
+            # check): feed THIS dict back as `search_after` to get a
+            # stale-cursor error after a rebuild instead of silent
+            # garbage; the plain list stays accepted unchecked
+            resp["cursor"] = {"values": cursor, "generation": self.generation}
+
+        if request.get("explain") and hits:
+            self._attach_explanations(request, hits)
 
         suggest = request.get("suggest")
         if suggest:
@@ -283,6 +327,69 @@ class Searcher:
                 }
             resp["suggest"] = out
         return resp
+
+    def _attach_explanations(self, request, hits) -> None:
+        """Minimal explain parity (reference: tests/function_score.rs
+        explain asserts): per hit, report each function_score function's
+        evaluated value (NULL = inactive) plus the combine modes.  One
+        bounded job over the returned ids only."""
+        plan, _ = build_query_plan(request, self.schema)
+        fs_nodes: list[P.SNFunctionScore] = []
+
+        def walk(node):
+            if node is None:
+                return
+            if isinstance(node, P.SNFunctionScore):
+                fs_nodes.append(node)
+                walk(node.base)
+            elif isinstance(node, (P.SNSum, P.SNDisMax)):
+                for c in node.children:
+                    walk(c)
+
+        walk(plan.score_node)
+        base_expl = {"description": "sum of per-term BM25 contributions"}
+        if not fs_nodes:
+            for h in hits:
+                h["explanation"] = {
+                    "value": h.get("score"),
+                    "details": [base_expl],
+                }
+            return
+        from searchlite_spark.query.scoring import _function_col
+
+        ids = [h["doc_id"] for h in hits]
+        docs = self.docs.where(F.col("doc_id").isin(ids))
+        cols, labels = [], []
+        for ni, node in enumerate(fs_nodes):
+            for fi, spec in enumerate(node.functions):
+                cols.append(_function_col(spec, docs).alias(f"_f_{ni}_{fi}"))
+                labels.append((ni, fi, spec.get("type")))
+        vals = {
+            r["doc_id"]: r
+            for r in docs.select("doc_id", *cols).collect()
+        }
+        for h in hits:
+            row = vals.get(h["doc_id"])
+            details = [base_expl]
+            for ni, node in enumerate(fs_nodes):
+                details.append(
+                    {
+                        "description": "function_score",
+                        "score_mode": node.score_mode,
+                        "boost_mode": node.boost_mode,
+                        "functions": [
+                            {
+                                "type": kind,
+                                "value": (
+                                    row[f"_f_{ni}_{fi}"] if row is not None else None
+                                ),
+                            }
+                            for (nj, fi, kind) in labels
+                            if nj == ni
+                        ],
+                    }
+                )
+            h["explanation"] = {"value": h.get("score"), "details": details}
 
     def _highlight_inputs(self, request):
         """Per-field query tokens and phrase buckets for highlighting
@@ -573,6 +680,10 @@ class Searcher:
             .collect()
         )
         df_map = {r["term"]: r["df"] for r in stats_rows}
+        # brute path examines every posting of every query key — the
+        # profile counter the reference reports as candidates_examined
+        # (reader.rs:115-129)
+        self._last_candidates = int(sum(df_map.values()))
         rows = []
         for k in all_keys:
             w_leaf = key_weight.get(k)
@@ -658,18 +769,34 @@ class Searcher:
 
     # -- phrases ---------------------------------------------------------
 
+    # prefilter engages only when BOTH the index is big enough for a
+    # head term's positions to be a real shuffle cost and the phrase
+    # mixes rare + common terms (see _phrase_matches docstring)
+    _PHRASE_PREFILTER_MIN_DOCS = 1_000_000
+    _PHRASE_PREFILTER_DF_RATIO = 16.0
+
+    def _phrase_prefilter_worthwhile(self, keys) -> bool:
+        if self.stats["n_docs"] < self._PHRASE_PREFILTER_MIN_DOCS:
+            return False
+        row = (
+            self.terms.where(F.col("term").isin(sorted(keys)))
+            .agg(F.min("df").alias("lo"), F.max("df").alias("hi"))
+            .collect()[0]
+        )
+        if not row["lo"] or not row["hi"]:
+            return False
+        return row["hi"] / max(row["lo"], 1) >= self._PHRASE_PREFILTER_DF_RATIO
+
     def _phrase_matches(self, phrase_specs) -> DataFrame:
         """(doc_id, _phrases ARRAY<INT>) for docs matching >=1 phrase.
 
-        Three-stage distributed plan (reference semantics:
-        query/phrase.rs:4-48 backtracking position intersection):
+        Distributed plan (reference semantics: query/phrase.rs:4-48
+        backtracking position intersection):
 
-        1. **All-buckets prefilter** — positions are heavy; before any
-           are shuffled, a distinct (doc, spec, field, bucket) count
-           keeps only docs containing EVERY phrase bucket.  A phrase
-           with a head term ("the best") then ships positions for at
-           most the docs containing the rarest term, not the head
-           term's whole posting list.
+        1. **One positions aggregation** — per (doc, spec, field),
+           collect the (bucket, positions) entries in a single shuffle;
+           bucket completeness (doc contains EVERY phrase bucket) is
+           checked on the aggregated list — no extra exchange.
         2. **Bucket assembly** — per surviving doc, merge alternative
            tokens per bucket (sorted distinct positions) and pack the
            ordered bucket position arrays.
@@ -677,7 +804,19 @@ class Searcher:
            fold ``array_intersect(transform(acc, x -> x+1), next)``
            over the buckets, whole-stage-codegen'd — no Python.  slop>0
            runs the reference's backtracker in an Arrow batch over the
-           prefiltered survivors only.
+           surviving docs only.
+
+        **Conditional head-term prefilter**: on a LARGE index a phrase
+        like "the best" would ship the head term's entire positions
+        list through the shuffle just to discard docs lacking the rare
+        term.  When the index is big enough for that to matter
+        (n_docs >= _PHRASE_PREFILTER_MIN_DOCS) and the dictionary dfs
+        are lopsided (max_df/min_df >= _PHRASE_PREFILTER_DF_RATIO), a
+        positions-free (doc, bucket)-distinct semi-join runs first so
+        positions ship only for docs containing the rarest bucket.  At
+        small scale the two extra exchanges cost more than they save
+        (measured 3.4x on the sf0.1 bench), so the fused single-shuffle
+        plan is the default.
         """
         map_rows: list[tuple] = []
         nb_rows: list[tuple] = []
@@ -702,23 +841,33 @@ class Searcher:
             .select("doc_id", "term", "positions")
             .join(F.broadcast(mapping), "term")
         )
-        surviving = (
-            cand.groupBy("doc_id", "spec_id", "field")
-            .agg(F.countDistinct("bucket").alias("_nb"))
-            .join(F.broadcast(nb), ["spec_id", "field"])
-            .where(F.col("_nb") == F.col("n_buckets"))
-            .select("doc_id", "spec_id", "field")
-        )
-        pos_cand = cand.join(
-            surviving, ["doc_id", "spec_id", "field"], "left_semi"
-        )
-        # one positions shuffle; the per-bucket merge + ordered assembly
-        # happen as per-row higher-order expressions (buckets per phrase
-        # are tiny)
+        if self._phrase_prefilter_worthwhile(keys):
+            surviving = (
+                cand.groupBy("doc_id", "spec_id", "field")
+                .agg(F.countDistinct("bucket").alias("_nb"))
+                .join(F.broadcast(nb), ["spec_id", "field"])
+                .where(F.col("_nb") == F.col("n_buckets"))
+                .select("doc_id", "spec_id", "field")
+            )
+            cand = cand.join(
+                surviving, ["doc_id", "spec_id", "field"], "left_semi"
+            )
+        # one positions shuffle; bucket completeness is checked on the
+        # aggregated entry list (free), and the per-bucket merge +
+        # ordered assembly happen as per-row higher-order expressions
+        # (buckets per phrase are tiny)
         grouped = (
-            pos_cand.groupBy("doc_id", "spec_id", "field")
+            cand.groupBy("doc_id", "spec_id", "field")
             .agg(F.collect_list(F.struct("bucket", "positions")).alias("_ents"))
             .join(F.broadcast(nb), ["spec_id", "field"])
+            .where(
+                F.size(
+                    F.array_distinct(
+                        F.transform(F.col("_ents"), lambda e: e["bucket"])
+                    )
+                )
+                == F.col("n_buckets")
+            )
         )
         bp_expr = F.transform(
             F.sequence(F.lit(0), F.col("n_buckets") - 1),
@@ -833,7 +982,10 @@ class Searcher:
         c = F.col(fld)
         try:
             if isinstance(self.docs.schema[fld].dataType, T.ArrayType):
-                c = F.array_min(c) if order == "asc" else F.array_max(c)
+                # drop null elements first: array_min/max over an array
+                # containing NULL would poison the key
+                nn = F.filter(c, lambda x: x.isNotNull())
+                c = F.array_min(nn) if order == "asc" else F.array_max(nn)
         except KeyError:
             pass
         return c
@@ -846,6 +998,15 @@ class Searcher:
         sort value ranks after every concrete value, so a concrete
         cursor admits later nulls and a null cursor admits only nulls
         with a larger doc_id."""
+        if isinstance(values, dict):
+            gen = values.get("generation")
+            if gen is not None and gen != self.generation:
+                raise ValueError(
+                    f"stale cursor: generation {gen!r} does not match the "
+                    f"current index generation {self.generation!r} "
+                    "(the index was rebuilt; restart pagination)"
+                )
+            values = values["values"]
         specs = self._sort_specs(sort)
         values = list(values)
         if len(values) != len(specs) + 1:
@@ -890,22 +1051,21 @@ class Searcher:
                 fld, order = s, "asc"
             else:
                 fld, order = s["field"], s.get("order", "asc")
-            if fld == "_score":
-                c = F.col("score")
-            else:
-                c = F.col(fld)
-                try:
-                    if isinstance(self.docs.schema[fld].dataType, T.ArrayType):
-                        c = F.array_min(c) if order == "asc" else F.array_max(c)
-                except KeyError:
-                    pass
+            c = self._sort_value_col(fld, order)
             cols.append(
                 c.desc_nulls_last() if order == "desc" else c.asc_nulls_last()
             )
         cols.append(F.col("doc_id").asc())
         return cols
 
-    def _apply_sort(self, scored: DataFrame, sort) -> DataFrame:
+    def _apply_sort(
+        self, scored: DataFrame, sort, keep_keys: bool = False
+    ) -> DataFrame:
+        """keep_keys: additionally carry the COMPUTED sort-key values as
+        ``_sk_<i>`` columns so the pagination cursor can be built from
+        them — never from the docstore row, which may not store the
+        sort field at all (store_columns) and would silently yield a
+        None cursor value."""
         if not sort:
             return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         keep = list(scored.columns)
@@ -919,6 +1079,12 @@ class Searcher:
             scored = scored.join(
                 self.docs.select("doc_id", *fields), "doc_id", "left"
             )
+        if keep_keys:
+            for i, (fld, order) in enumerate(self._sort_specs(sort)):
+                scored = scored.withColumn(
+                    f"_sk_{i}", self._sort_value_col(fld, order)
+                )
+            keep = keep + [f"_sk_{i}" for i in range(len(self._sort_specs(sort)))]
         return scored.orderBy(*self._sort_cols(sort)).select(*keep)
 
     # -- helpers -----------------------------------------------------------
@@ -950,4 +1116,18 @@ class Searcher:
 
             walk_sn(plan.score_node)
         valid = set(self.docs.columns)
+        # text columns are NOT fast fields (self.docs deliberately
+        # excludes the text blobs — at 100 TB they must never be cached
+        # or shuffled for metadata work).  Referencing one in a filter /
+        # score hook / sort is a request error, same as the reference's
+        # "not a fast field" validation — fail clearly, not with a
+        # missing-column AnalysisException deep in the plan.
+        text_like = set(self.schema.text_field_names) - valid
+        bad = sorted(cols & text_like)
+        if bad:
+            raise ValueError(
+                f"field(s) {bad} are text-indexed, not fast fields; "
+                "filters, score functions and sorts require keyword/"
+                "numeric (fast) fields"
+            )
         return {c for c in cols if c in valid}

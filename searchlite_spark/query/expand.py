@@ -137,14 +137,40 @@ class DictionaryExpander:
         )
         return [r["term"] for r in rows]
 
-    def fuzzy_candidates(self, field: str, prefix: str) -> list[str]:
+    def fuzzy(
+        self, field: str, token: str, prefix: str, max_edits: int, cap: int
+    ) -> list[tuple[str, int]]:
+        """Dictionary terms within Levenshtein distance [1, max_edits] of
+        ``token`` sharing ``prefix``, in term order, capped at ``cap``.
+
+        Fully distributed (reader.rs:1394-1465 bounded-DP equivalent):
+        the prefix range scan, length prefilter, and thresholded
+        ``levenshtein(…, threshold)`` all run in Spark; only the <= cap
+        winners are collected — never the raw dictionary range (at web
+        scale a 1-char prefix covers tens of millions of terms).
+        """
+        fplen = len(field) + 1
         rows = (
             self.terms_df.where(F.col("term").startswith(f"{field}:{prefix}"))
-            .select("term")
+            .select("term", F.col("term").substr(fplen + 1, 1 << 20).alias("_cand"))
+            .where(
+                (F.length("_cand") > 0)
+                & (F.col("_cand") != token)
+                & (
+                    F.abs(F.length("_cand") - F.lit(len(token)))
+                    <= F.lit(max_edits)
+                )
+            )
+            .withColumn(
+                "_dist", F.levenshtein(F.lit(token), F.col("_cand"), max_edits)
+            )
+            .where((F.col("_dist") >= 1) & (F.col("_dist") <= max_edits))
+            .select("term", "_dist")
             .orderBy("term")
+            .limit(cap)
             .collect()
         )
-        return [r["term"] for r in rows]
+        return [(r["term"], int(r["_dist"])) for r in rows]
 
 
 class _GroupExpansion:
@@ -206,22 +232,11 @@ class _GroupExpansion:
         if len(token) < min_length or max_exp == 0 or self.expander is None:
             return
         prefix = token[: min(prefix_length, len(token))]
-        fplen = len(field) + 1
-        count = 0
-        for key in self.expander.fuzzy_candidates(field, prefix):
-            if count >= max_exp:
-                break
-            cand = key[fplen:]
-            if not cand or cand == token:
-                continue
-            if abs(len(cand) - len(token)) > max_edits:
-                continue
-            dist = bounded_levenshtein(token, cand, max_edits)
-            if dist is None or dist == 0:
-                continue
+        for key, dist in self.expander.fuzzy(
+            field, token, prefix, max_edits, max_exp
+        ):
             self._push_scored(key, field, weight / (dist + 1.0), leaf)
             self._push_key(key)
-            count += 1
 
 
 def expand_groups(
@@ -232,6 +247,8 @@ def expand_groups(
 ) -> tuple[list[TermGroupSpec], list[QualifiedTerm]]:
     qualified: list[QualifiedTerm] = []
     groups: list[TermGroupSpec] = []
+    if isinstance(fuzzy, bool):  # `"fuzzy": true` == all-defaults
+        fuzzy = {"max_edits": 1} if fuzzy else None
     for g in builder.raw_groups:
         ge = _GroupExpansion(g, expander, fuzzy, qualified)
         mode = g.expansion[0]

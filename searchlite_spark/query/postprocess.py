@@ -143,8 +143,6 @@ def suggest_completion(
             for r in rows
         ]
     else:
-        from searchlite_spark.query.expand import bounded_levenshtein
-
         term_len = len(prefix)
         max_edits = min(int(fuzzy.get("max_edits", 1)), 2)
         min_length = int(fuzzy.get("min_length", 3))
@@ -153,6 +151,10 @@ def suggest_completion(
             return []
         pre = prefix[: min(int(fuzzy.get("prefix_length", 1)), term_len)]
         cap = max(min(max_exp, MAX_SUGGEST_CANDIDATES), size)
+        # fully distributed (reader.rs:1951-1998 equivalent): length
+        # prefilter + thresholded levenshtein run in Spark; only the
+        # <= cap winners (in text order) are collected, never the raw
+        # prefix range
         rows = (
             terms.where(
                 F.col("term").startswith(f"{field}:{pre}")
@@ -160,26 +162,23 @@ def suggest_completion(
                 & (F.col("df") > 0)
             )
             .select(F.expr(f"substring(term, {fplen + 1})").alias("text"), "df")
+            .where(F.abs(F.length("text") - F.lit(term_len)) <= F.lit(max_edits))
+            .withColumn(
+                "_dist", F.levenshtein(F.lit(prefix), F.col("text"), max_edits)
+            )
+            .where(F.col("_dist") >= 0)
             .orderBy("text")
+            .limit(cap)
             .collect()
         )
-        cands = []
-        for r in rows:
-            if len(cands) >= cap:
-                break
-            cand = r["text"]
-            if abs(len(cand) - term_len) > max_edits:
-                continue
-            dist = bounded_levenshtein(prefix, cand, max_edits)
-            if dist is None:
-                continue
-            cands.append(
-                {
-                    "text": cand,
-                    "doc_freq": int(r["df"]),
-                    "score": float(r["df"]) / (dist + 1.0),
-                }
-            )
+        cands = [
+            {
+                "text": r["text"],
+                "doc_freq": int(r["df"]),
+                "score": float(r["df"]) / (int(r["_dist"]) + 1.0),
+            }
+            for r in rows
+        ]
     cands.sort(key=lambda c: (-c["score"], c["text"]))
     return cands[:size]
 

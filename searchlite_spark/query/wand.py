@@ -96,9 +96,9 @@ def wand_topk(
                 postings, key_meta[seed_key], seed_key, avgdl, n_docs, k, k1, b
             )
         else:
-            theta = _seed_threshold(
-                blocks, key_meta[seed_key], seed_key, avgdl, n_docs, k, k1, b
-            )
+            # no postings handle: run unpruned (still exact; theta only
+            # controls skipping)
+            theta = 0.0
 
     # ---- 2+3. bucketed kernel ----
     cand = blocks.where(F.col("term").isin(keys)).select(
@@ -140,37 +140,6 @@ def wand_topk(
         .limit(k)
         .select("doc_id", "score")
     )
-
-
-def _seed_threshold(blocks, m, key, avgdl, n_docs, k, k1, b) -> float:
-    """Exactly score one term's postings; k-th best = θ₀ (0 if df < k)."""
-    if m["df"] < k:
-        return 0.0
-    import numpy as np
-
-    # driver-side decode is bounded: skip seeding from huge lists (a
-    # high-df term has low idf and is rarely the max-UB term anyway)
-    rows = blocks.where(F.col("term") == key).select("tfs", "dls").collect() \
-        if m["df"] <= 500_000 else []
-    if not rows:
-        return 0.0
-    from searchlite_spark.index.codec import decode_varints
-
-    tfs = np.concatenate([decode_varints(bytes(r["tfs"])) for r in rows]).astype(
-        np.float64
-    )
-    dls = np.concatenate([decode_varints(bytes(r["dls"])) for r in rows]).astype(
-        np.float64
-    )
-    av = float(avgdl.get(m["field"], 0.0))
-    idf = max(math.log((n_docs - m["df"] + 0.5) / (m["df"] + 0.5)), 0.0) + 1.0
-    dl_eff = np.where(dls > 0, dls, max(av, 1.0))
-    norm = dl_eff / av if av > 0 else np.ones_like(dl_eff)
-    denom = np.maximum(tfs + k1 * (1.0 - b + b * norm), 1e-6)
-    scores = float(m["weight"]) * idf * (tfs * (k1 + 1.0)) / denom
-    if len(scores) < k:
-        return 0.0
-    return float(np.partition(scores, -k)[-k])
 
 
 def _seed_threshold_distributed(
@@ -290,27 +259,53 @@ def _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters=None):
         acc = np.zeros(width, dtype=np.float64)
         touched = np.zeros(width, dtype=bool)
         idxs = np.nonzero(surv)[0]
-        for i in idxs:
-            row = pdf.iloc[i]
-            m = meta[row["term"]]
-            dids = decode_deltas(bytes(row["doc_ids"]), int(row["n"])).astype(
-                np.int64
+        if len(idxs):
+            # batch decode: concatenate surviving payloads per column and
+            # decode ONCE (LEB128 streams concatenate safely — the last
+            # byte of each value/block has the high bit clear).  The only
+            # per-block fixup is re-basing the doc-id delta cumsum at
+            # block starts; everything else is flat numpy over all
+            # entries in (term, block_id) order, preserving the per-doc
+            # fp accumulation order of the per-block loop it replaces.
+            docs_col = pdf["doc_ids"].to_numpy()
+            tfs_col = pdf["tfs"].to_numpy()
+            dls_col = pdf["dls"].to_numpy()
+            ns = pdf["n"].to_numpy().astype(np.int64)
+            surv_ns = ns[idxs]
+            total = int(surv_ns.sum())
+            deltas = decode_varints(
+                b"".join(bytes(docs_col[i]) for i in idxs), total
+            )
+            ends_ix = np.cumsum(surv_ns)
+            starts_ix = ends_ix - surv_ns
+            run = np.cumsum(deltas)
+            # per-block cumsum: subtract the running total carried in
+            # from the previous block (first entry of each block is the
+            # absolute doc id)
+            carry = np.zeros(total, dtype=np.uint64)
+            carry[starts_ix[1:]] = run[starts_ix[1:] - 1]
+            dids = (run - np.repeat(carry[starts_ix], surv_ns)).astype(np.int64)
+            tfs = decode_varints(
+                b"".join(bytes(tfs_col[i]) for i in idxs), total
+            ).astype(np.float64)
+            dls = decode_varints(
+                b"".join(bytes(dls_col[i]) for i in idxs), total
+            ).astype(np.float64)
+            surv_terms = terms[idxs]
+            wi = np.repeat(
+                np.array([meta[t]["weight"] * meta[t]["idf"] for t in surv_terms]),
+                surv_ns,
+            )
+            av = np.repeat(
+                np.array([meta[t]["avgdl"] for t in surv_terms]), surv_ns
             )
             mask = (dids >= lo) & (dids <= hi)
-            if not mask.any():
-                continue
-            tfs = decode_varints(bytes(row["tfs"]), int(row["n"])).astype(
-                np.float64
-            )[mask]
-            dls = decode_varints(bytes(row["dls"]), int(row["n"])).astype(
-                np.float64
-            )[mask]
-            dids = dids[mask]
-            av = m["avgdl"]
-            dl_eff = np.where(dls > 0, dls, max(av, 1.0))
-            norm = dl_eff / av if av > 0 else np.ones_like(dl_eff)
+            dids, tfs, dls = dids[mask], tfs[mask], dls[mask]
+            wi, av = wi[mask], av[mask]
+            dl_eff = np.where(dls > 0, dls, np.maximum(av, 1.0))
+            norm = np.where(av > 0, dl_eff / np.maximum(av, 1e-300), 1.0)
             denom = np.maximum(tfs + k1 * (1.0 - b + b * norm), 1e-6)
-            contrib = m["weight"] * m["idf"] * (tfs * (k1 + 1.0)) / denom
+            contrib = wi * (tfs * (k1 + 1.0)) / denom
             off = dids - lo
             np.add.at(acc, off, contrib)
             touched[off] = True

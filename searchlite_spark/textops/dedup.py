@@ -96,18 +96,20 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_bucket_size: int | None = 500,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded LSH with
     exact-Jaccard verification of the candidates.
 
-    max_bucket_size caps the (band, bucket) self-join: a bucket with m
-    members yields m² candidate pairs, and at Common-Crawl scale
-    boilerplate/empty-page clusters form million-member buckets (10¹²
-    pairs from ONE key).  Oversized buckets are dropped — their members
-    are near-certain exact duplicates, which the (cheaper) exact_dedup
-    pass should collapse FIRST; run exact dedup before near-dup, or
-    pass None to disable the guard on pre-deduped input."""
+    max_bucket_size (opt-in, default None = no truncation) caps the
+    (band, bucket) self-join: a bucket with m members yields m²
+    candidate pairs, and at Common-Crawl scale boilerplate/empty-page
+    clusters form million-member buckets (10¹² pairs from ONE key).
+    When set, oversized buckets are DROPPED — their members are
+    near-certain exact duplicates, so run the (cheaper) exact_dedup
+    pass first and then cap.  Deliberately opt-in so small-scale
+    callers never lose true pairs silently; ALWAYS set it on raw
+    web-scale input."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = F.explode(
@@ -214,7 +216,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, hamming) via banded simhash.
 

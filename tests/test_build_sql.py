@@ -37,6 +37,13 @@ TRICKY = [
     "punct!!! ??? ...",
     "digits 007 42x 3.14",
     "repeat repeat repeat one two one",
+    # scripts with Other_Alphabetic combining marks: Java \p{IsAlphabetic}
+    # keeps them in-token while Python isalnum splits — the SQL split
+    # class must be \p{L}\p{Nd}\p{Nl}\p{No} so both paths agree
+    "नमस्ते दुनिया",  # Devanagari (matras + virama)
+    "สวัสดี ชาวโลก",  # Thai (vowel signs)
+    "שָׁלוֹם עוֹלָם",  # Hebrew with niqqud
+    "مَرْحَبًا بِالْعَالَم",  # Arabic with harakat
 ]
 
 
