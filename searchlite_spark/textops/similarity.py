@@ -129,15 +129,58 @@ def _hyperplane_sign(vec_col, plane: int, dim: int):
 
 
 def lsh_buckets(
-    df: DataFrame, dim: int, planes: int = 8, vec_col: str = "embedding"
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
     """Adds a ``bucket`` column = packed sign bits of `planes` random
-    hyperplane projections.  Write ``partitionBy("bucket")`` for
-    probe-time file pruning at scale."""
+    hyperplane projections (hash table number `table` — each table uses
+    an independent hyperplane family).  Write ``partitionBy("bucket")``
+    for probe-time file pruning at scale."""
     bucket = F.lit(0)
     for p in range(planes):
-        bucket = bucket * 2 + _hyperplane_sign(F.col(vec_col), p, dim)
+        bucket = bucket * 2 + _hyperplane_sign(
+            F.col(vec_col), table * planes + p, dim
+        )
     return df.withColumn("bucket", bucket)
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    tables: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exploded multi-table layout: one row per (input row, table) with
+    columns ``tbl`` and ``bucket``.  At 10^12 rows this is THE index
+    layout: one pass over the vectors computes all table signatures,
+    written ``partitionBy("tbl", "bucket")`` so a probe reads exactly
+    `tables` × (1+multiprobe) file partitions — no shuffle at query
+    time.  Storage cost = `tables`× ids (vectors stay in the base
+    table; join back on id for re-rank)."""
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _pack_bucket(F.col(vec_col), dim, planes, t).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.withColumn("_sig", F.explode(sigs)).select(
+        *df.columns, F.col("_sig.tbl").alias("tbl"),
+        F.col("_sig.bucket").alias("bucket"),
+    )
+
+
+def _pack_bucket(vec_col, dim: int, planes: int, table: int):
+    bucket = F.lit(0)
+    for p in range(planes):
+        bucket = bucket * 2 + _hyperplane_sign(vec_col, table * planes + p, dim)
+    return bucket
 
 
 def lsh_ann_topk(
@@ -148,18 +191,44 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     multiprobe: int = 0,
+    tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's LSH bucket (+ neighbors at
-    Hamming distance 1 when multiprobe>0), re-rank exactly."""
+    """Approximate top-k via multi-table hyperplane LSH: candidates =
+    union over `tables` independent hash tables of the query's bucket
+    (+ Hamming-1 neighbors when multiprobe>0), re-ranked exactly.
+
+    One table of b sign bits collides clustered neighbors with
+    probability p^b (p = 1 - angle/pi), which tops out near ~0.3 recall
+    at useful bucket sizes; L independent tables lift recall to
+    1-(1-p^b)^L — the standard LSH amplification (and the distributed
+    stand-in for the reference's HNSW graph, vectors/hnsw.rs:10-120,
+    which needs single-node random access).  Measured on 100k clustered
+    vectors, neighbor cosine ~0.8 (scripts/ann_recall_bench.py):
+    planes=8, tables=8, multiprobe=4 -> recall@10 = 0.98 examining 16%
+    of the corpus; planes=12, tables=8 -> 0.80 at 1.3%.  Candidates
+    stay bounded: tables x (1+multiprobe) buckets of ~N/2^planes rows
+    each — at larger N raise `planes` to hold the bucket size (not the
+    bucket count) constant and raise `tables`/`multiprobe` to buy the
+    recall back."""
     dim = len(query_vec)
-    bucketed = lsh_buckets(df, dim, planes, vec_col)
-    # query bucket computed driver-side with the same hash function via
-    # a 1-row DataFrame (keeps the arithmetic identical)
     spark = df.sparkSession
-    qdf = spark.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col} ARRAY<DOUBLE>")
-    qbucket = lsh_buckets(qdf, dim, planes, vec_col).collect()[0]["bucket"]
-    probes = [qbucket]
-    if multiprobe > 0:
-        probes += [qbucket ^ (1 << b) for b in range(planes)][:multiprobe]
-    cand = bucketed.where(F.col("bucket").isin(probes))
+    qdf = spark.createDataFrame(
+        [(list(map(float, query_vec)),)], f"{vec_col} ARRAY<DOUBLE>"
+    )
+    # query signatures computed with the same Spark expressions via a
+    # 1-row DataFrame (keeps the arithmetic identical to the corpus)
+    qsig = lsh_bucket_table(qdf, dim, planes, tables, vec_col).collect()
+    sig = lsh_bucket_table(df, dim, planes, tables, vec_col)
+    cond = F.lit(False)
+    for r in qsig:
+        qbucket = r["bucket"]
+        probes = [qbucket]
+        if multiprobe > 0:
+            probes += [qbucket ^ (1 << b) for b in range(planes)][:multiprobe]
+        cond = cond | (
+            (F.col("tbl") == r["tbl"]) & F.col("bucket").isin(probes)
+        )
+    # one pass over the corpus (against the partitioned layout this is
+    # partition pruning, not a scan); dedup ids matched by >1 table
+    cand = sig.where(cond).select(*df.columns).dropDuplicates([id_col])
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
