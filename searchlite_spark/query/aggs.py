@@ -510,6 +510,216 @@ _PIPELINE_KINDS = ("bucket_sort", "avg_bucket", "sum_bucket", "derivative",
                    "moving_avg", "bucket_script")
 
 
+class AggregationConfigError(ValueError):
+    """Request-level aggregation misconfiguration (the reference's
+    AggregationError::{InvalidConfig, UnsupportedFieldType,
+    MissingFastField}, reader.rs:3720-3790)."""
+
+
+def _ensure_keyword_fast(schema, field: str, agg: str) -> None:
+    if field not in schema.keyword_field_names:
+        raise AggregationConfigError(
+            f"aggregation `{agg}`: field `{field}` is not a fast keyword "
+            "field"
+        )
+
+
+def _ensure_numeric_fast(schema, field: str, agg: str) -> None:
+    if field not in schema.numeric_field_names:
+        raise AggregationConfigError(
+            f"aggregation `{agg}`: field `{field}` is not a fast numeric "
+            "field"
+        )
+
+
+def _ensure_keyword_or_numeric_fast(schema, field: str, agg: str) -> None:
+    if (
+        field not in schema.keyword_field_names
+        and field not in schema.numeric_field_names
+    ):
+        raise AggregationConfigError(
+            f"aggregation `{agg}`: field `{field}` is not a fast keyword "
+            "or numeric field"
+        )
+
+
+def _validate_sampling(name: str, sampling) -> None:
+    """reader.rs:3791-3833 — size/probability exclusivity + ranges."""
+    if sampling is None:
+        return
+    size = sampling.get("size")
+    prob = sampling.get("probability")
+    if size is not None and prob is not None:
+        raise AggregationConfigError(
+            f"aggregation `{name}` sampling cannot set both size and "
+            "probability"
+        )
+    if prob is not None and not (0.0 <= float(prob) <= 1.0):
+        raise AggregationConfigError(
+            f"aggregation `{name}` sampling probability must be between "
+            "0 and 1"
+        )
+    if size is not None and int(size) == 0:
+        raise AggregationConfigError(
+            f"aggregation `{name}` sampling size must be greater than 0"
+        )
+    if sampling.get("seed") is not None and size is None and prob is None:
+        raise AggregationConfigError(
+            f"aggregation `{name}` sampling seed requires size or "
+            "probability to be set"
+        )
+
+
+def _parse_bound(v):
+    """Accept a number or an ISO date/datetime string (the reference's
+    parse_date, types.rs)."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            pass
+        from datetime import datetime
+
+        for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S"):
+            try:
+                return datetime.strptime(v, fmt).timestamp() * 1000.0
+            except ValueError:
+                continue
+    return None
+
+
+def _validate_bounds_pair(name: str, kind: str, body: dict) -> None:
+    """extended_bounds/hard_bounds ordering + containment
+    (reader.rs:3835-3876 histogram, 3905-3974 date_histogram)."""
+
+    def norm(b, label):
+        if b is None:
+            return None
+        lo, hi = (
+            (b.get("min"), b.get("max")) if isinstance(b, dict) else (b[0], b[1])
+        )
+        lo_v, hi_v = _parse_bound(lo), _parse_bound(hi)
+        if lo_v is None or hi_v is None:
+            raise AggregationConfigError(
+                f"{kind} `{name}` {label} is not a valid date/number"
+            )
+        if lo_v > hi_v:
+            raise AggregationConfigError(f"{kind} `{name}` {label}.min > max")
+        return lo_v, hi_v
+
+    ext = norm(body.get("extended_bounds"), "extended_bounds")
+    hard = norm(body.get("hard_bounds"), "hard_bounds")
+    if ext and hard and (ext[0] < hard[0] or ext[1] > hard[1]):
+        raise AggregationConfigError(
+            f"{kind} `{name}` extended_bounds must be within hard_bounds"
+        )
+
+
+def validate_aggregations(schema, aggs: dict) -> None:
+    """Config validation matrix (reader.rs:3641-3718), applied BEFORE
+    any job runs: field-kind checks per agg type, sampling exclusivity,
+    histogram interval/bounds rules, date_histogram interval grammar.
+    The repo's fast-field model: every keyword/numeric schema field is
+    fast (Parquet is columnar), text fields are never fast."""
+    for name, spec in (aggs or {}).items():
+        kind, body = _norm_spec(spec)
+        sampling = body.get("sampling")
+        if kind in ("terms", "significant_terms", "rare_terms"):
+            _ensure_keyword_fast(schema, body["field"], name)
+            _validate_sampling(name, sampling)
+            validate_aggregations(schema, body.get("aggs") or {})
+        elif kind in ("range", "date_range"):
+            _ensure_numeric_fast(schema, body["field"], name)
+            _validate_sampling(name, sampling)
+            validate_aggregations(schema, body.get("aggs") or {})
+        elif kind == "histogram":
+            _ensure_numeric_fast(schema, body["field"], name)
+            if float(body.get("interval", 0)) <= 0.0:
+                raise AggregationConfigError(
+                    f"histogram `{name}` requires interval > 0"
+                )
+            _validate_bounds_pair(name, "histogram", body)
+            _validate_sampling(name, sampling)
+            validate_aggregations(schema, body.get("aggs") or {})
+        elif kind == "date_histogram":
+            _ensure_numeric_fast(schema, body["field"], name)
+            cal = body.get("calendar_interval")
+            fixed = body.get("fixed_interval")
+            iv = body.get("interval")
+            if cal is None and fixed is None and iv is None:
+                raise AggregationConfigError(
+                    f"date_histogram `{name}` requires `calendar_interval`"
+                    " or `fixed_interval`"
+                )
+            for label, spec_s, want_cal in (
+                ("calendar_interval", cal, True),
+                ("fixed_interval", fixed, False),
+            ):
+                if spec_s is None:
+                    continue
+                if want_cal:
+                    try:
+                        _parse_calendar_unit(spec_s)
+                    except ValueError:
+                        raise AggregationConfigError(
+                            f"date_histogram `{name}` calendar_interval "
+                            f"`{spec_s}` is not supported"
+                        ) from None
+                elif _parse_fixed_interval(spec_s) is None:
+                    raise AggregationConfigError(
+                        f"date_histogram `{name}` fixed_interval "
+                        f"`{spec_s}` is invalid"
+                    )
+            off = body.get("offset")
+            if isinstance(off, str) and _parse_fixed_interval(off) is None:
+                raise AggregationConfigError(
+                    f"date_histogram `{name}` offset `{off}` is invalid"
+                )
+            _validate_bounds_pair(name, "date_histogram", body)
+            _validate_sampling(name, sampling)
+            validate_aggregations(schema, body.get("aggs") or {})
+        elif kind in ("stats", "extended_stats", "value_count",
+                      "percentiles", "percentile_ranks",
+                      "avg", "sum", "min", "max"):
+            _ensure_numeric_fast(schema, body["field"], name)
+        elif kind == "cardinality":
+            _ensure_keyword_or_numeric_fast(schema, body["field"], name)
+        elif kind == "filter":
+            _validate_sampling(name, sampling)
+            validate_aggregations(schema, body.get("aggs") or {})
+        elif kind == "composite":
+            for src in body.get("sources", []):
+                skind, sbody = _norm_spec(src["source"]) if "source" in src \
+                    else _norm_spec({k: v for k, v in src.items()
+                                     if k != "name"})
+                if skind == "terms":
+                    _ensure_keyword_fast(schema, sbody["field"], name)
+                elif skind == "histogram":
+                    _ensure_numeric_fast(schema, sbody["field"], name)
+            _validate_sampling(name, sampling)
+            validate_aggregations(schema, body.get("aggs") or {})
+        elif kind == "sampler":
+            _validate_sampling(name, body)
+            validate_aggregations(schema, body.get("aggs") or {})
+        elif kind == "top_hits":
+            for s in body.get("sort") or []:
+                fld = s if isinstance(s, str) else s.get("field")
+                if fld not in ("_score", "doc_id") and (
+                    fld not in schema.keyword_field_names
+                    and fld not in schema.numeric_field_names
+                ):
+                    raise AggregationConfigError(
+                        f"invalid top_hits sort in aggregation `{name}`: "
+                        f"`{fld}` is not sortable"
+                    )
+        elif kind in _PIPELINE_KINDS:
+            pass
+        else:
+            raise AggregationConfigError(f"unsupported aggregation `{kind}`")
+
+
 def _metric_exprs(name: str, kind: str, body: dict) -> list:
     """Sub-aggregation metric expressions for a single groupBy pass.
     Multi-valued fields inside sub-aggs are summed per first value only

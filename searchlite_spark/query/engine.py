@@ -249,8 +249,14 @@ class Searcher:
 
         aggs = request.get("aggs") or request.get("aggregations")
         if aggs:
-            from searchlite_spark.query.aggs import run_aggregations
+            from searchlite_spark.query.aggs import (
+                run_aggregations,
+                validate_aggregations,
+            )
 
+            # full config validation BEFORE any job runs
+            # (reader.rs:3641-3718 matrix)
+            validate_aggregations(self.schema, aggs)
             resp["aggregations"] = run_aggregations(
                 full_match_set, self.docs, aggs
             )
