@@ -149,7 +149,11 @@ class Searcher:
                 int(inner_cfg.get("size", 0) or 0),
                 int(inner_cfg.get("from", 0) or 0),
             )
-            resp["total_groups"] = reps.count()
+            # total_groups follows the same opt-out as total_hits — an
+            # unconditional reps.count() was a second full job per
+            # collapse query even when the caller never reads it
+            if tth is not False:
+                resp["total_groups"] = reps.count()
             scored = reps.select("doc_id", "score", "_ckey")
 
         search_after = request.get("search_after")
