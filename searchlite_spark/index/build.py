@@ -73,7 +73,12 @@ def assign_doc_ids(
     ranged = df.repartitionByRange(num_partitions, F.col(key)).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.persist()
+    from pyspark import StorageLevel
+
+    # serialized disk cache (tmpfs local dir): id stability across the
+    # counting pass and the downstream consumers without pinning full
+    # rows in JVM heap
+    ranged = ranged.persist(StorageLevel.DISK_ONLY)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -420,19 +425,33 @@ def build_index(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    from pyspark import StorageLevel
+
+    persisted = False
     if id_mode == "column":
         # a pre-assigned `doc_id` BIGINT column wins; otherwise the key
-        # column itself must be castable to BIGINT
+        # column itself must be castable to BIGINT.  NO cache: each
+        # downstream pass (tokenize, docstore) re-scans the columnar
+        # source with column pruning — strictly cheaper than pinning
+        # the full rows (incl. html blobs) in executor memory, which
+        # measurably ANTI-scales (8 concurrent tasks fighting a fat row
+        # cache for heap: postings phase 150 s vs 29 s uncached at 8
+        # cores, 2.4M docs).  At 100 TB caching the raw corpus is not
+        # even an option.
         docs = corpus
         if "doc_id" not in corpus.columns:
             docs = docs.withColumn("doc_id", F.col(schema.doc_id_field).cast("long"))
+        n_docs = docs.count()  # parquet footer count — no data scan
     else:
         docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
-    docs = docs.persist()
-    n_docs = docs.count()
+        # assign mode: the id assignment (range shuffle + window) must
+        # not recompute per downstream pass — cache SERIALIZED on disk
+        # (spark.local.dir is tmpfs here): no JVM heap pressure, none
+        # of the row-cache GC thrash that flattens scaling
+        docs = docs.persist(StorageLevel.DISK_ONLY)
+        persisted = True
+        n_docs = docs.count()
     _mark("ids")
-
-    from pyspark import StorageLevel
 
     postings_path = f"{out_dir}/postings"
     postings_flat, vectorized = tokenize_postings_best(docs, schema)
@@ -563,5 +582,6 @@ def build_index(
         },
     }
     write_manifest(out_dir, manifest)
-    docs.unpersist()
+    if persisted:
+        docs.unpersist()
     return Index(path=out_dir, spark=spark)
