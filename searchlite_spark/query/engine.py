@@ -93,6 +93,10 @@ class Searcher:
         lineage = (index.manifest or {}).get("lineage", {})
         self.generation = f"{lineage.get('built_at')}/{self.stats.get('n_docs')}"
         self.last_execution: str | None = None
+        # immutable-snapshot term-stats cache {term: (df, max_tf)} — the
+        # reference caches term stats in its readers the same way; a
+        # repeated-term query costs zero dictionary jobs
+        self._term_stats: dict[str, tuple[int, int]] = {}
         self.last_wand_counters: dict | None = None
 
     # -- public API -----------------------------------------------------
@@ -512,19 +516,16 @@ class Searcher:
         for qt in qualified:
             weights[qt.key] = weights.get(qt.key, 0.0) + qt.weight
             fields[qt.key] = qt.field
-        trows = (
-            self.terms.where(F.col("term").isin(sorted(weights)))
-            .select("term", "df", "max_tf")
-            .collect()
-        )
+        stats = self._term_stats_for(sorted(weights))
         key_meta = {
-            r["term"]: {
-                "weight": weights[r["term"]],
-                "df": int(r["df"]),
-                "max_tf": int(r["max_tf"]),
-                "field": fields[r["term"]],
+            k: {
+                "weight": weights[k],
+                "df": stats[k][0],
+                "max_tf": stats[k][1],
+                "field": fields[k],
             }
-            for r in trows
+            for k in weights
+            if stats[k][0] > 0
         }
         if not key_meta:
             return self._empty_hits()
@@ -624,18 +625,24 @@ class Searcher:
             if scored is not None:
                 base = scored
             else:
-                base = phrases_df.select("doc_id").withColumn(
+                # phrase-only, score-less query: base IS the phrase
+                # match set — carry `_phrases` directly instead of
+                # re-joining phrases_df below, which would evaluate the
+                # whole positions aggregation lineage TWICE (measured
+                # 2x wall on the bench phrase query)
+                base = phrases_df.withColumn(
                     "_groups", F.array().cast("array<int>")
                 ).withColumn("_score", F.lit(None).cast("double")).withColumn(
                     "_leaf_scores", F.lit(None).cast("map<int,double>")
                 )
+                phrases_df = None  # consumed
         if phrases_df is not None:
             base = base.join(phrases_df, "doc_id", "left")
             base = base.withColumn(
                 "_phrases",
                 F.coalesce(F.col("_phrases"), F.array().cast("array<int>")),
             )
-        else:
+        elif "_phrases" not in base.columns:
             base = base.withColumn("_phrases", F.array().cast("array<int>"))
         base = base.withColumn(
             "_groups", F.coalesce(F.col("_groups"), F.array().cast("array<int>"))
@@ -682,14 +689,34 @@ class Searcher:
     def _empty_hits(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id LONG, score DOUBLE")
 
+    def _term_stats_for(self, keys) -> dict[str, tuple[int, int]]:
+        """{key: (df, max_tf)} via the reader-level cache; ONE bounded
+        dictionary job for the keys not yet seen (pushed-down
+        ``term IN (...)`` scan), zero jobs for repeated terms.  Absent
+        terms cache as (0, 0)."""
+        missing = sorted(k for k in keys if k not in self._term_stats)
+        if missing:
+            rows = (
+                self.terms.where(F.col("term").isin(missing))
+                .select("term", "df", "max_tf")
+                .collect()
+            )
+            found = {
+                r["term"]: (int(r["df"]), int(r["max_tf"] or 0)) for r in rows
+            }
+            for k in missing:
+                self._term_stats[k] = found.get(k, (0, 0))
+        return {k: self._term_stats[k] for k in keys}
+
     def _key_info_df(self, all_keys, key_groups, key_weight) -> DataFrame:
-        """(term, groups, weight, leaf, df_key) — df from the dictionary."""
-        stats_rows = (
-            self.terms.where(F.col("term").isin(all_keys))
-            .select("term", "df")
-            .collect()
-        )
-        df_map = {r["term"]: r["df"] for r in stats_rows}
+        """(term, groups, weight, leaf, df_key) — df from the dictionary.
+
+        Per-term df values are cached on the Searcher (the index is an
+        immutable snapshot, so dfs never change under us — the
+        reference caches term stats in its readers the same way); a
+        repeated-term query costs zero dictionary jobs."""
+        stats = self._term_stats_for(all_keys)
+        df_map = {k: stats[k][0] for k in all_keys}
         # brute path examines every posting of every query key — the
         # profile counter the reference reports as candidates_examined
         # (reader.rs:115-129)
@@ -788,14 +815,10 @@ class Searcher:
     def _phrase_prefilter_worthwhile(self, keys) -> bool:
         if self.stats["n_docs"] < self._PHRASE_PREFILTER_MIN_DOCS:
             return False
-        row = (
-            self.terms.where(F.col("term").isin(sorted(keys)))
-            .agg(F.min("df").alias("lo"), F.max("df").alias("hi"))
-            .collect()[0]
-        )
-        if not row["lo"] or not row["hi"]:
+        dfs = [v[0] for v in self._term_stats_for(sorted(keys)).values() if v[0]]
+        if not dfs:
             return False
-        return row["hi"] / max(row["lo"], 1) >= self._PHRASE_PREFILTER_DF_RATIO
+        return max(dfs) / max(min(dfs), 1) >= self._PHRASE_PREFILTER_DF_RATIO
 
     def _phrase_matches(self, phrase_specs) -> DataFrame:
         """(doc_id, _phrases ARRAY<INT>) for docs matching >=1 phrase.
