@@ -141,3 +141,63 @@ def _rewrite(
     manifest.setdefault("metrics", {})["rewrite_secs"] = round(time.time() - t0, 3)
     write_manifest(out_path, manifest)
     return Index(path=out_path, spark=spark)
+
+
+def verify_text_invariant(
+    index: Index,
+    source: "DataFrame",  # noqa: F821 — pyspark DataFrame
+    key_col: str = "url",
+    text_col: str = "text",
+    sample: float | None = None,
+) -> dict:
+    """Enforce the per-row invariant: the docstore's extracted ``text``
+    is byte-identical to the source lake's, per ``key_col``.
+
+    One distributed pass: inner-join docstore to source on the key and
+    compare xxhash64 of the text bytes (no text ever reaches the
+    driver); also counts keys on either side without a partner.
+    ``sample`` (0..1] verifies a deterministic hash-based subset — at
+    10^12 rows a 1% sample per build is the practical cadence, with
+    full sweeps on demand.
+
+    Returns {"checked", "mismatched", "missing_in_index",
+    "missing_in_source"}; raises ValueError when any text differs.
+    """
+    docs = index.docs().select(
+        F.col(key_col), F.xxhash64(F.col(text_col)).alias("_h_idx")
+    )
+    src = source.select(
+        F.col(key_col), F.xxhash64(F.col(text_col)).alias("_h_src")
+    )
+    if sample is not None:
+        if not (0.0 < sample <= 1.0):
+            raise ValueError("sample must be in (0, 1]")
+        # deterministic draw both sides agree on: hash of the key
+        pred = (
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(1_000_000)) 
+            < F.lit(int(sample * 1_000_000))
+        )
+        docs, src = docs.where(pred), src.where(pred)
+    joined = docs.join(src, key_col, "full_outer")
+    row = joined.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            (F.col("_h_idx").isNotNull() & F.col("_h_src").isNotNull()
+             & (F.col("_h_idx") != F.col("_h_src"))).cast("long")
+        ).alias("mismatched"),
+        F.sum(F.col("_h_idx").isNull().cast("long")).alias("missing_in_index"),
+        F.sum(F.col("_h_src").isNull().cast("long")).alias("missing_in_source"),
+    ).collect()[0]
+    out = {
+        "checked": int(row["total"]),
+        "mismatched": int(row["mismatched"] or 0),
+        "missing_in_index": int(row["missing_in_index"] or 0),
+        "missing_in_source": int(row["missing_in_source"] or 0),
+    }
+    if out["mismatched"]:
+        raise ValueError(
+            f"text invariant violated: {out['mismatched']} of "
+            f"{out['checked']} rows have text differing from the source "
+            f"(per-{key_col} byte identity)"
+        )
+    return out

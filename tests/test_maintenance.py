@@ -83,3 +83,40 @@ def test_compact_is_identity(spark, corpus, tmp_path_factory):
     assert idx2.stats == idx.stats
     assert _hits(Searcher(idx2), "alpha gamma") == _hits(Searcher(idx), "alpha gamma")
     assert idx2.manifest["lineage"]["compacted_from"] == base
+
+
+def test_verify_text_invariant(spark, tmp_path_factory):
+    """Per-row invariant (north rule): docstore text is byte-identical
+    to the source per url; corruption is detected, sampling works."""
+    from searchlite_spark.index.maintenance import verify_text_invariant
+
+    rows = [(f"https://ex.com/{i}", f"text body {i} alpha") for i in range(50)]
+    corpus = spark.createDataFrame(rows, "url STRING, text STRING")
+    corpus = corpus.withColumn(
+        "doc_id", F.xxhash64("url") % 1_000_000_000
+    )
+    schema = IndexSchema(doc_id_field="doc_id",
+                         text_fields=(TextField("text"),))
+    out = str(tmp_path_factory.mktemp("inv_idx"))
+    idx = build_index(spark, corpus, schema, out, id_mode="column",
+                      num_partitions=2)
+    res = verify_text_invariant(idx, corpus, key_col="url")
+    assert res == {"checked": 50, "mismatched": 0,
+                   "missing_in_index": 0, "missing_in_source": 0}
+    # sampled run checks a strict subset
+    res_s = verify_text_invariant(idx, corpus, key_col="url", sample=0.3)
+    assert 0 < res_s["checked"] < 50 and res_s["mismatched"] == 0
+
+    # corrupt one source row -> must raise
+    bad = corpus.withColumn(
+        "text",
+        F.when(F.col("url") == "https://ex.com/7",
+               F.lit("TAMPERED")).otherwise(F.col("text")),
+    )
+    with pytest.raises(ValueError, match="text invariant violated"):
+        verify_text_invariant(idx, bad, key_col="url")
+    # missing rows are reported, not fatal
+    res_m = verify_text_invariant(
+        idx, corpus.where(F.col("url") != "https://ex.com/3"), key_col="url"
+    )
+    assert res_m["missing_in_source"] == 1
