@@ -16,6 +16,7 @@ from searchlite_spark.index.build import (
     sql_tokenize_eligible,
     tokenize_postings,
     tokenize_postings_arrow,
+    tokenize_postings_arrow_re2,
     tokenize_postings_best,
 )
 from searchlite_spark.index.schema import (
@@ -95,6 +96,8 @@ def test_token_parity_tricky(spark, tricky_docs, tricky_schema):
     py = _canon(tokenize_postings(tricky_docs, tricky_schema))
     arrow = _canon(tokenize_postings_arrow(tricky_docs, tricky_schema))
     assert arrow == py
+    re2 = _canon(tokenize_postings_arrow_re2(tricky_docs, tricky_schema))
+    assert re2 == py
 
 
 def test_token_parity_corpus(spark):
@@ -109,6 +112,8 @@ def test_token_parity_corpus(spark):
     py = _canon(tokenize_postings(docs, schema))
     arrow = _canon(tokenize_postings_arrow(docs, schema))
     assert arrow == py
+    re2 = _canon(tokenize_postings_arrow_re2(docs, schema))
+    assert re2 == py
 
 
 def test_two_text_fields_parity(spark):
@@ -124,3 +129,5 @@ def test_two_text_fields_parity(spark):
     py = _canon(tokenize_postings(docs, schema))
     arrow = _canon(tokenize_postings_arrow(docs, schema))
     assert arrow == py
+    re2 = _canon(tokenize_postings_arrow_re2(docs, schema))
+    assert re2 == py
