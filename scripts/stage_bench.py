@@ -25,7 +25,7 @@ def main():
 
     from searchlite_spark import get_spark
     from searchlite_spark.corpus import corpus_index_schema, make_corpus, with_warc_ts_ms
-    from searchlite_spark.index.build import tokenize_postings
+    from searchlite_spark.index.build import tokenize_postings_best
 
     PARTS = 32
     spark = get_spark(
@@ -44,11 +44,11 @@ def main():
     schema = corpus_index_schema()
 
     # untimed warmup (JIT/codegen/python workers)
-    warm = tokenize_postings(corpus.limit(4000), schema)
+    warm, _ = tokenize_postings_best(corpus.limit(4000), schema)
     warm.write.mode("overwrite").parquet(f"/dev/shm/searchlite_scale/warm_{cores}")
 
     t0 = time.time()
-    pf = tokenize_postings(corpus, schema).persist(StorageLevel.MEMORY_AND_DISK)
+    pf = tokenize_postings_best(corpus, schema)[0].persist(StorageLevel.MEMORY_AND_DISK)
     n_postings = pf.count()
     pf.repartitionByRange(PARTS, "term", "doc_id").sortWithinPartitions(
         "term", "doc_id"
