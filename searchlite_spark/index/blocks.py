@@ -55,11 +55,22 @@ BLOCK_SCHEMA = T.StructType(
 def pack_partition(batches, block_size: int):
     """Pack an iterator of (term, doc_id, tf)-sorted pandas batches into
     block rows.  Carries an open run across batch boundaries so blocks
-    are full-size within a partition."""
+    are full-size within a partition.
+
+    Tolerates doc_id *regressions* inside a same-term stream: Spark may
+    bin-pack several per-file-sorted parquet files into one scan task,
+    and file order is by size, not doc range — so the last term of one
+    file can continue in the next file with a smaller doc_id.  A run is
+    closed whenever doc_id fails to increase; the resulting same-term
+    blocks have disjoint doc ranges and the query kernel re-sorts blocks
+    by (term, block_id), so correctness is unaffected.  ``flush`` also
+    asserts each emitted block is strictly ascending — a violated block
+    would silently break BMW interval skipping."""
     import numpy as np
     import pandas as pd
 
     run_term: str | None = None
+    run_last_doc: int = -1
     run_docs: list[np.ndarray] = []
     run_tfs: list[np.ndarray] = []
     run_dls: list[np.ndarray] = []
@@ -68,6 +79,12 @@ def pack_partition(batches, block_size: int):
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
         dls = np.concatenate(dls_parts)
+        if len(docs) > 1 and not bool(np.all(np.diff(docs) > 0)):
+            raise ValueError(
+                f"pack_partition: non-ascending doc_ids in run for term "
+                f"{term!r} — input violates the per-partition "
+                f"(term, doc_id) sort contract"
+            )
         for s in range(0, len(docs), block_size):
             d = docs[s : s + block_size]
             t = tfs[s : s + block_size]
@@ -92,16 +109,25 @@ def pack_partition(batches, block_size: int):
         doc_ids = pdf["doc_id"].to_numpy()
         tfs = pdf["tf"].to_numpy()
         dls = pdf["dl"].to_numpy()
-        # boundaries of equal-term runs within this batch
-        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+        if len(terms) == 0:
+            continue
+        # boundaries of equal-term ascending runs within this batch: a
+        # run ends on term change OR doc_id regression (file-concat seam)
+        change = (
+            np.nonzero((terms[1:] != terms[:-1]) | (doc_ids[1:] <= doc_ids[:-1]))[0]
+            + 1
+        )
         bounds = np.concatenate(([0], change, [len(terms)]))
         for bi in range(len(bounds) - 1):
             lo, hi = bounds[bi], bounds[bi + 1]
             term = terms[lo]
-            if run_term is not None and term != run_term:
+            if run_term is not None and (
+                term != run_term or int(doc_ids[lo]) <= run_last_doc
+            ):
                 flush(run_term, run_docs, run_tfs, run_dls, out)
                 run_docs, run_tfs, run_dls = [], [], []
             run_term = term
+            run_last_doc = int(doc_ids[hi - 1])
             run_docs.append(doc_ids[lo:hi])
             run_tfs.append(tfs[lo:hi])
             run_dls.append(dls[lo:hi])
@@ -123,8 +149,14 @@ def build_block_postings(
     block_size: int = 128,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """postings must be range-sorted by (term, doc_id) — as written by
-    ``build_index`` — so packing needs no shuffle."""
+    """``postings`` must be sorted by (term, doc_id) **within each scan
+    partition** — as written by ``build_index``'s
+    ``sortWithinPartitions("term", "doc_id")`` — so packing needs no
+    shuffle.  Global range order is NOT required: under the hash(term,
+    doc-chunk) layout a term's postings may appear in several files /
+    partitions, and ``pack_partition`` closes a run at every file-concat
+    seam (doc_id regression), emitting disjoint same-term blocks that the
+    query kernel re-sorts by (term, block_id)."""
     src = postings.select("term", "doc_id", "tf", "dl")
     packed = src.mapInPandas(
         lambda it: pack_partition(it, block_size), BLOCK_SCHEMA

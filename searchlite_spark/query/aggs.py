@@ -230,6 +230,22 @@ def _parse_fixed_interval(spec: str) -> int | None:
     return n * mult
 
 
+def _offset_millis(off) -> int:
+    """date_histogram ``offset``: int millis, or a fixed-interval string
+    like "1h" (validate_aggregations accepts both shapes — the executor
+    must parse exactly what validation admits, not raise ValueError)."""
+    if off is None:
+        return 0
+    if isinstance(off, str) and not off.lstrip("-").isdigit():
+        ms = _parse_fixed_interval(off)
+        if ms is None:
+            raise AggregationConfigError(
+                f"date_histogram: unsupported offset {off!r}"
+            )
+        return ms
+    return int(off or 0)
+
+
 def _parse_calendar_unit(spec: str) -> str:
     s = spec.strip().lower()
     mapping = {
@@ -514,6 +530,31 @@ class AggregationConfigError(ValueError):
     """Request-level aggregation misconfiguration (the reference's
     AggregationError::{InvalidConfig, UnsupportedFieldType,
     MissingFastField}, reader.rs:3720-3790)."""
+
+
+class TooManyBucketsError(AggregationConfigError):
+    """Bucket cardinality exceeded MAX_BUCKETS (the reference hard-caps
+    at 10k, aggs/mod.rs:43).  Raised instead of materializing an
+    unbounded bucket list on the driver — a histogram with a tiny
+    `interval` over a wide field at web scale is otherwise a driver OOM."""
+
+
+def _collect_buckets(df: DataFrame, agg_name: str):
+    """Final driver-side bucket materialization, capped at MAX_BUCKETS.
+
+    Every bucket-producing agg must funnel its final ``.collect()``
+    through here: the ``limit(MAX_BUCKETS + 1)`` bounds the rows shipped
+    to the driver regardless of the group-by cardinality (the groupBy
+    itself stays distributed), and the +1 sentinel distinguishes
+    "exactly at cap" from "over cap"."""
+    rows = df.limit(MAX_BUCKETS + 1).collect()
+    if len(rows) > MAX_BUCKETS:
+        raise TooManyBucketsError(
+            f"aggregation `{agg_name}` produced more than "
+            f"{MAX_BUCKETS} buckets; narrow the interval/query or use "
+            "composite pagination"
+        )
+    return rows
 
 
 def _ensure_keyword_fast(schema, field: str, agg: str) -> None:
@@ -991,7 +1032,8 @@ def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
             }
         elif kind == "significant_terms":
             rows = significant_terms_agg(
-                matches, docs, body["field"], int(body.get("size", 10))
+                matches, docs, body["field"],
+                min(int(body.get("size", 10)), MAX_BUCKETS),
             ).collect()
             out[name] = {
                 "buckets": [
@@ -1017,12 +1059,17 @@ def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
             mdc = int(mdc) if mdc is not None else (0 if eb else 1)
             if mdc > 0:
                 grouped = grouped.where(F.col("doc_count") >= mdc)
-            rows = grouped.orderBy("key").collect()
+            rows = _collect_buckets(grouped.orderBy("key"), name)
             buckets = [_row_to_bucket(r, sub_aggs) for r in rows]
             if eb:
                 have = {b["key"] for b in buckets}
                 lo = math_floor((float(eb["min"]) - offset) / interval)
                 hi = math_floor((float(eb["max"]) - offset) / interval)
+                if hi - lo + 1 > MAX_BUCKETS:
+                    raise TooManyBucketsError(
+                        f"aggregation `{name}`: extended_bounds span "
+                        f"{hi - lo + 1} buckets > {MAX_BUCKETS}"
+                    )
                 for i in range(lo, hi + 1):
                     k = i * interval + offset
                     if k not in have:
@@ -1031,15 +1078,18 @@ def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
             out[name] = {"buckets": buckets}
         elif kind == "date_histogram":
             md = _matched_docs(matches, docs, [body["field"]] + sub_fields)
-            rows = date_histogram_agg(
-                md,
-                body["field"],
-                body.get("interval") or body.get("calendar_interval")
-                or body.get("fixed_interval"),
-                int(body.get("offset", 0) or 0),
-                body.get("missing"),
-                int(body.get("min_doc_count", 1) or 0),
-            ).collect()
+            rows = _collect_buckets(
+                date_histogram_agg(
+                    md,
+                    body["field"],
+                    body.get("interval") or body.get("calendar_interval")
+                    or body.get("fixed_interval"),
+                    _offset_millis(body.get("offset", 0)),
+                    body.get("missing"),
+                    int(body.get("min_doc_count", 1) or 0),
+                ),
+                name,
+            )
             out[name] = {
                 "buckets": [
                     {"key": r["key"], "doc_count": r["doc_count"]} for r in rows
@@ -1063,9 +1113,15 @@ def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
             for srcspec in body["sources"]:
                 k2, b2 = _norm_spec(srcspec)
                 norm_sources.append({k2: b2})
-            rows = composite_agg(
-                md, norm_sources, int(body.get("size", 10)), body.get("after")
-            ).collect()
+            rows = _collect_buckets(
+                composite_agg(
+                    md,
+                    norm_sources,
+                    min(int(body.get("size", 10)), MAX_BUCKETS),
+                    body.get("after"),
+                ),
+                name,
+            )
             names = [list(s.values())[0]["name"] for s in norm_sources]
             buckets = [
                 {"key": {n: r[n] for n in names}, "doc_count": r["doc_count"]}

@@ -230,3 +230,51 @@ def test_rare_terms(s, matches):
     assert [(b["key"], b["doc_count"]) for b in out["rt"]["buckets"]] == [
         ("beta", 4)
     ]
+
+
+def test_histogram_bucket_cap_overflow(s, matches, monkeypatch):
+    """Histogram-family finalize is capped at MAX_BUCKETS (reference
+    hard-caps at 10k, aggs/mod.rs:43) — over-cap raises instead of
+    materializing unbounded buckets on the driver."""
+    from searchlite_spark.query import aggs as A
+
+    monkeypatch.setattr(A, "MAX_BUCKETS", 5)
+    with pytest.raises(A.TooManyBucketsError, match="more than 5 buckets"):
+        run_aggregations(
+            matches, s.docs,
+            {"h": {"type": "histogram", "field": "score", "interval": 10.0}},
+        )
+    with pytest.raises(A.TooManyBucketsError):
+        run_aggregations(
+            matches, s.docs,
+            {"dh": {"type": "date_histogram", "field": "ts_ms",
+                    "interval": "1d"}},
+        )
+    with pytest.raises(A.TooManyBucketsError, match="extended_bounds"):
+        # 3 real buckets (under the cap) but the bounds span 21 scaffolded
+        run_aggregations(
+            matches, s.docs,
+            {"h": {"type": "histogram", "field": "score", "interval": 50.0,
+                   "extended_bounds": {"min": 0, "max": 1000}}},
+        )
+    # at/below the cap still works
+    monkeypatch.setattr(A, "MAX_BUCKETS", 10_000)
+    out = run_aggregations(
+        matches, s.docs,
+        {"h": {"type": "histogram", "field": "score", "interval": 10.0}},
+    )
+    assert len(out["h"]["buckets"]) == 12
+
+
+def test_date_histogram_string_offset(s, matches):
+    """validate_aggregations admits offset "1h"; the executor must parse
+    it (was: unhandled ValueError)."""
+    out = run_aggregations(
+        matches, s.docs,
+        {"dh": {"type": "date_histogram", "field": "ts_ms",
+                "interval": "1d", "offset": "1h"}},
+    )
+    assert out["dh"]["buckets"]  # parsed and executed
+    HOUR = 3_600_000
+    # every key is shifted onto the offset grid
+    assert all((b["key"] - HOUR) % DAY == 0 for b in out["dh"]["buckets"])

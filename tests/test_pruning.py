@@ -109,3 +109,52 @@ def test_seeded_threshold_prunes_low_scores(rand_searcher):
     out = _collect(rand_searcher.topk({"query": "rust index", "limit": 3}))
     assert len(out) == 3
     assert out[0][1] >= out[1][1] >= out[2][1]
+
+
+def test_pack_partition_file_concat_seam():
+    """Spark can bin-pack several per-file-sorted parquet files into one
+    scan task; a head term that ends one file and starts the next arrives
+    as a same-term stream with a doc_id regression.  pack_partition must
+    close the run at the seam and emit disjoint ascending blocks, never a
+    block with unsorted payload / max_doc_id < block_id."""
+    import numpy as np
+    import pandas as pd
+
+    from searchlite_spark.index.blocks import pack_partition
+
+    # file A: term "web" docs 100..109; file B: term "web" docs 0..9 then
+    # term "zoo" docs 3,4 — concatenated into one batch (worst case)
+    def seg(term, docs):
+        return pd.DataFrame(
+            {"term": term, "doc_id": docs, "tf": 1, "dl": 10}
+        )
+
+    batch = pd.concat(
+        [seg("web", range(100, 110)), seg("web", range(0, 10)), seg("zoo", [3, 4])],
+        ignore_index=True,
+    )
+    blocks = pd.concat(list(pack_partition(iter([batch]), block_size=4)),
+                       ignore_index=True)
+    from searchlite_spark.index.codec import decode_deltas
+
+    seen = {}
+    for _, row in blocks.iterrows():
+        docs = decode_deltas(row["doc_ids"], row["n"])
+        assert list(docs) == sorted(docs), "block payload must be ascending"
+        assert row["block_id"] == docs[0]
+        assert row["max_doc_id"] == docs[-1]
+        seen.setdefault(row["term"], []).extend(docs)
+    assert sorted(seen["web"]) == list(range(0, 10)) + list(range(100, 110))
+    assert sorted(seen["zoo"]) == [3, 4]
+
+    # same seam split across two Arrow batches (run carried between them)
+    batches = [seg("web", range(100, 110)), seg("web", range(0, 10))]
+    blocks2 = pd.concat(
+        list(pack_partition(iter(batches), block_size=4)), ignore_index=True
+    )
+    got = []
+    for _, row in blocks2.iterrows():
+        docs = decode_deltas(row["doc_ids"], row["n"])
+        assert list(docs) == sorted(docs)
+        got.extend(docs)
+    assert sorted(got) == list(range(0, 10)) + list(range(100, 110))
