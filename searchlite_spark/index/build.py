@@ -31,6 +31,7 @@ All statistics are global ("single-segment" scope, SURVEY.md §1.5).
 from __future__ import annotations
 
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -684,6 +685,10 @@ def build_index(
         "lineage": {
             "input_snapshot": input_snapshot,
             "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # unique per build: the cursor generation tag must change on
+            # every rebuild, even one landing in the same wall-clock
+            # second with the same doc count
+            "build_id": uuid.uuid4().hex,
         },
     }
     write_manifest(out_dir, manifest)

@@ -88,10 +88,13 @@ class Searcher:
         self.b = B_DEFAULT
         # index generation for cursor staleness checks (the reference
         # rejects cursors from another index generation,
-        # reader.rs:821-869): lineage built_at + doc count is unique per
-        # (re)build in practice
+        # reader.rs:821-869): the manifest's per-build uuid when present
+        # (unique even for same-second, same-count rebuilds); older
+        # manifests fall back to built_at + doc count
         lineage = (index.manifest or {}).get("lineage", {})
-        self.generation = f"{lineage.get('built_at')}/{self.stats.get('n_docs')}"
+        self.generation = lineage.get("build_id") or (
+            f"{lineage.get('built_at')}/{self.stats.get('n_docs')}"
+        )
         self.last_execution: str | None = None
         # immutable-snapshot term-stats cache {term: (df, max_tf)} — the
         # reference caches term stats in its readers the same way; a
@@ -1038,6 +1041,11 @@ class Searcher:
                     f"stale cursor: generation {gen!r} does not match the "
                     f"current index generation {self.generation!r} "
                     "(the index was rebuilt; restart pagination)"
+                )
+            if "values" not in values:
+                raise ValueError(
+                    "search_after dict must carry a 'values' list (pass "
+                    "the cursor returned by the previous page verbatim)"
                 )
             values = values["values"]
         specs = self._sort_specs(sort)

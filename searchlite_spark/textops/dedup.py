@@ -11,7 +11,9 @@ scale:
   (band, bucket-hash) -> exact-Jaccard verification of candidates only.
   The band join is the classic sub-quadratic near-dup path.
 * SimHash           — 64-bit sign-aggregated token hashes; near-dups =
-  same value (or Hamming <= r via rotations, TODO).
+  same value, or Hamming <= r via pigeonhole banding (split the 64 bits
+  into r+1 bands — any pair within distance r collides on at least one
+  intact band) + ``bit_count`` verification of candidates.
 * n-gram Jaccard    — exact pairwise within a blocking key (use only as
   verification or on small blocks; quadratic per block).
 """
@@ -96,20 +98,20 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded LSH with
     exact-Jaccard verification of the candidates.
 
-    max_bucket_size (opt-in, default None = no truncation) caps the
-    (band, bucket) self-join: a bucket with m members yields m²
-    candidate pairs, and at Common-Crawl scale boilerplate/empty-page
-    clusters form million-member buckets (10¹² pairs from ONE key).
-    When set, oversized buckets are DROPPED — their members are
-    near-certain exact duplicates, so run the (cheaper) exact_dedup
-    pass first and then cap.  Deliberately opt-in so small-scale
-    callers never lose true pairs silently; ALWAYS set it on raw
-    web-scale input."""
+    max_bucket_size (default 500) caps the (band, bucket) self-join: a
+    bucket with m members yields m² candidate pairs, and at
+    Common-Crawl scale boilerplate/empty-page clusters form
+    million-member buckets (10¹² pairs from ONE key).  Oversized
+    buckets are DROPPED — their members are near-certain exact
+    duplicates, so run the (cheaper) exact_dedup pass first.  The cap
+    is ON by default so raw web-scale input can never silently launch
+    a quadratic self-join; pass ``max_bucket_size=None`` only on small
+    curated corpora where exhaustive pairs are required."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = F.explode(
@@ -216,7 +218,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, hamming) via banded simhash.
 
@@ -225,7 +227,9 @@ def simhash_near_pairs(
     ``max_hamming`` agrees exactly on at least one band — so a
     band-equality self-join finds ALL qualifying pairs, then
     ``bit_count(xor)`` verifies the true distance.  Same hot-bucket cap
-    rationale as MinHash-LSH."""
+    rationale as MinHash-LSH: default ON (1000) so web-scale input
+    fails safe instead of launching a quadratic self-join; pass
+    ``max_bucket_size=None`` for exhaustive small-corpus runs."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sigs = simhash(df, text_col, id_col)

