@@ -1,0 +1,187 @@
+"""Incremental append: new documents become new index *files*, not a
+rebuild.
+
+Reference model: the writer buffers adds in a WAL and commits them as a
+NEW SEGMENT, visible atomically on commit (searchlite-core/src/api/
+writer.rs:106-239); readers merge segment statistics at query time.
+Spark-first re-expression: the postings / docs / blocks tables are
+directories of immutable parquet files, so a commit is an
+**Iceberg-style file append** —
+
+* tokenize ONLY the new batch (cost ∝ batch size);
+* shuffle the batch's postings with the same hash(term, doc-chunk)
+  layout and ``mode("append")`` them next to the existing files —
+  query-time term seeks prune row groups per file, so old and new
+  postings coexist without any rewrite;
+* pack block-max blocks for the batch only and append them
+  (the query kernel re-sorts blocks by (term, block_id); the batch's
+  doc ids are strictly greater than every existing id, so the new
+  blocks are disjoint doc ranges of the same terms);
+* the term dictionary and global stats are the one part that must
+  MERGE (df/cf/max_tf are per-term totals): old ∪ batch-delta is
+  re-aggregated and atomically swapped in.  Cost ∝ |vocabulary|, which
+  is sublinear in corpus size — the reference pays the same merge in
+  its reader's multi-segment stat union.
+
+BM25 parity with a full rebuild: df, cf, max_tf, n_docs and the
+float32 avgdl are recomputed over old+new, so scores are identical to
+re-indexing the concatenated corpus (the pytest contract).  Appends
+bump the manifest ``build_id``, so open cursors correctly go stale.
+
+Not crash-atomic: a failed append can leave orphan postings files
+(exactly like a torn Iceberg commit without a metadata swap); re-run
+``compact`` to rewrite clean.  The manifest is written LAST, so a
+reader that re-opens mid-append sees the old stats with some unreadable
+extra rows only after the manifest lands — acceptable for a batch lake
+engine, documented here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from searchlite_spark.index.build import assign_doc_ids, tokenize_postings_best
+from searchlite_spark.index.catalog import Index, write_manifest
+
+
+def append_documents(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    num_partitions: int | None = None,
+    id_mode: str = "assign",
+) -> Index:
+    """Append ``corpus`` to ``index`` in place; returns a fresh Index
+    handle (re-open Searchers to see the new snapshot).
+
+    id_mode="assign": new dense ids continue after the current max id,
+    ordered by the batch's doc-key order.  id_mode="column": the key
+    column is the BIGINT id; every batch id must exceed the current max
+    (checked — overlapping ids would corrupt postings merges)."""
+    from pyspark import StorageLevel
+
+    t0 = time.time()
+    schema = index.schema
+    manifest = dict(index.manifest)
+    path = index.path
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    old_max = index.docs().agg(F.max("doc_id").alias("m")).first()["m"]
+    old_max = -1 if old_max is None else int(old_max)
+
+    if id_mode == "column":
+        docs = corpus
+        if "doc_id" not in corpus.columns:
+            docs = docs.withColumn(
+                "doc_id", F.col(schema.doc_id_field).cast("long")
+            )
+        bad = docs.where(F.col("doc_id") <= old_max).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"append_documents(id_mode='column'): batch contains "
+                f"doc_id <= current max ({old_max}); ids must be new"
+            )
+        n_new = docs.count()
+    else:
+        docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
+        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(old_max + 1))
+        n_new = docs.count()
+    if n_new == 0:
+        return Index(path=path, spark=spark)
+
+    # ---- batch postings: same hash(term, doc-chunk) layout ----
+    postings_flat, _ = tokenize_postings_best(docs, schema)
+    chunk_w = max(n_new // num_partitions, 1)
+    salt = (F.col("doc_id") / F.lit(int(chunk_w))).cast("long")
+    batch_postings = postings_flat.repartition(
+        num_partitions, F.col("term"), salt
+    ).sortWithinPartitions("term", "doc_id")
+    # reused by three consumers (postings write, term deltas, blocks) —
+    # serialized disk cache, same rationale as the full build
+    batch_postings = batch_postings.persist(StorageLevel.DISK_ONLY)
+    try:
+        batch_postings.write.mode("append").parquet(f"{path}/postings")
+
+        # ---- docstore append (schema-aligned with the existing files) ----
+        store_cols = index.docs().columns
+        docs.select(*store_cols).write.mode("append").parquet(f"{path}/docs")
+
+        # ---- term dictionary merge (cost ∝ vocabulary) ----
+        delta = batch_postings.groupBy("term").agg(
+            F.first("field").alias("field"),
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        merged = (
+            index.terms()
+            .unionByName(delta)
+            .groupBy("term")
+            .agg(
+                F.first("field").alias("field"),
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+            )
+            .repartitionByRange(max(num_partitions // 4, 1), "term")
+            .sortWithinPartitions("term")
+        )
+        tmp_terms = f"{path}/terms__append_tmp"
+        merged.write.mode("overwrite").parquet(tmp_terms)
+        shutil.rmtree(f"{path}/terms")
+        os.rename(tmp_terms, f"{path}/terms")
+        terms_df = spark.read.parquet(f"{path}/terms")
+
+        # ---- blocks for the batch only ----
+        if index.has_blocks():
+            from searchlite_spark.index.blocks import BLOCK_SCHEMA, pack_partition
+
+            block_size = int(manifest.get("block_size", 128))
+            batch_postings.select("term", "doc_id", "tf", "dl").mapInPandas(
+                lambda it: pack_partition(it, block_size), BLOCK_SCHEMA
+            ).write.mode("append").parquet(f"{path}/blocks")
+    finally:
+        batch_postings.unpersist()
+
+    # ---- stats + manifest (written last) ----
+    import numpy as np
+
+    text_names = schema.text_field_names
+    totals_rows = (
+        terms_df.where(F.col("field").isin(text_names))
+        .groupBy("field")
+        .agg(F.sum("cf").alias("total"))
+        .collect()
+        if text_names
+        else []
+    )
+    totals = {r["field"]: int(r["total"]) for r in totals_rows}
+    n_docs = int(manifest["stats"]["n_docs"]) + int(n_new)
+    manifest["stats"] = {
+        "n_docs": n_docs,
+        "avgdl": {
+            f: float(np.float32(totals.get(f, 0)) / np.float32(n_docs))
+            if n_docs
+            else 0.0
+            for f in text_names
+        },
+        "total_tokens": {f: totals.get(f, 0) for f in text_names},
+    }
+    lineage = dict(manifest.get("lineage") or {})
+    lineage["build_id"] = uuid.uuid4().hex
+    lineage.setdefault("appends", []).append(
+        {
+            "n_docs": int(n_new),
+            "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "secs": round(time.time() - t0, 3),
+        }
+    )
+    manifest["lineage"] = lineage
+    write_manifest(path, manifest)
+    return Index(path=path, spark=spark)

@@ -101,6 +101,15 @@ class Searcher:
         # repeated-term query costs zero dictionary jobs
         self._term_stats: dict[str, tuple[int, int]] = {}
         self.last_wand_counters: dict | None = None
+        # plan cache {canonical request json: (DataFrame, candidates)} —
+        # DataFrames are immutable logical plans over an immutable
+        # snapshot, so the ~0.3 s of py4j plan construction per query
+        # (875 gateway round-trips measured) is paid once per distinct
+        # request.  Results are NOT cached; every action re-executes.
+        self._plan_cache: dict[str, tuple[DataFrame, int]] = {}
+        # seed-θ cache for the WAND/BMW kernel: θ depends only on the
+        # seed term's (immutable) postings + (weight, k, k1, b)
+        self._theta_cache: dict[tuple, float] = {}
 
     # -- public API -----------------------------------------------------
 
@@ -118,23 +127,36 @@ class Searcher:
         self._profile_t0 = _time.time()
         self._last_candidates = 0
         self.last_wand_counters = None  # search() is the brute path
-        scored = self._matched_scored(request)
+        scored = self._matched_scored_cached(request)
+        # exact-total fold (reference: single-pass accept-hook counting,
+        # reader.rs:3009-3036): observe() rides the match count on the
+        # top-k job instead of a dedicated count() pass — one fewer job
+        # and one fewer full evaluation of the match set per search.
+        # Valid because the first action is always a global sort/top-k
+        # or a collapse aggregate, which must consume every row.
+        obs = None
+        if request.get("track_total_hits", True) is True:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            scored = scored.observe(obs, F.count(F.lit(1)).alias("n"))
         scored = scored.persist()
         try:
-            return self._finish_search(request, scored, limit, PP)
+            return self._finish_search(request, scored, limit, PP, obs)
         finally:
             scored.unpersist()
 
-    def _finish_search(self, request, scored, limit, PP):
+    def _finish_search(self, request, scored, limit, PP, obs=None):
         sort = request.get("sort")
         # track_total_hits: True (default, reference parity) = exact
-        # count; False = skip the full-match-set aggregation entirely;
-        # int N = count capped at N ("at least N" semantics).  At 100 TB
-        # an unconditional exact total makes every `limit 10` query pay
-        # a full scan — this is the opt-out.
+        # count (folded into the first job via observe); False = skip
+        # the full-match-set aggregation entirely; int N = count capped
+        # at N ("at least N" semantics).  At 100 TB an unconditional
+        # exact total makes every `limit 10` query pay a full scan —
+        # this is the opt-out.
         tth = request.get("track_total_hits", True)
         if tth is True:
-            total = scored.count()
+            total = None if obs is not None else scored.count()
         elif tth is False:
             total = None
         else:
@@ -177,6 +199,18 @@ class Searcher:
         # avoids a re-sort after the docs join disturbing rescore's
         # window-block ordering
         top_rows = ordered.limit(limit).collect()
+        if obs is not None:
+            # the top-k (or collapse) job has run; the observed count is
+            # final.  get blocks only until the first action completed.
+            # Corner: AQE empty-relation propagation can elide the
+            # CollectMetrics node entirely (observed plan optimized to a
+            # LocalTableScan) — then get's row conversion fails and the
+            # count falls back to a (near-free, empty-plan) count().
+            try:
+                total = int(obs.get["n"])
+            except Exception:
+                total = scored.count()
+            resp["total_hits_estimate"] = total
         ids = [r["doc_id"] for r in top_rows]
         field_rows = {
             r["doc_id"]: r.asDict()
@@ -436,7 +470,7 @@ class Searcher:
         """Ranked hits as a DataFrame (doc_id, score, <doc fields>)."""
         if int(request.get("limit", DEFAULT_LIMIT)) <= 0:
             raise ValueError("limit must be > 0")
-        scored = self._matched_scored(request)
+        scored = self._matched_scored_cached(request)
         limit = int(request.get("limit", DEFAULT_LIMIT))
         total = scored.count() if with_total else None
 
@@ -456,7 +490,25 @@ class Searcher:
 
     def match_set(self, request: dict) -> DataFrame:
         """All matching (doc_id, score) — the aggregation input."""
-        return self._matched_scored(request)
+        return self._matched_scored_cached(request)
+
+    def _matched_scored_cached(self, request: dict) -> DataFrame:
+        import json as _json
+
+        try:
+            key = _json.dumps(request, sort_keys=True, default=str)
+        except TypeError:
+            return self._matched_scored(request)
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            df, cand = hit
+            self._last_candidates = cand
+            return df
+        df = self._matched_scored(request)
+        if len(self._plan_cache) >= 256:  # bounded; snapshot never changes
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[key] = (df, getattr(self, "_last_candidates", 0))
+        return df
 
     def topk(self, request: dict, k: int | None = None) -> DataFrame:
         """Top-k (doc_id, score) with execution routing: "wand"/"bmw"
@@ -550,6 +602,7 @@ class Searcher:
             b=self.b,
             postings=self.postings,
             counters=self.last_wand_counters,
+            theta_cache=self._theta_cache,
         )
 
     # -- core -----------------------------------------------------------
@@ -592,6 +645,29 @@ class Searcher:
                 key_weight[qt.key] = (qt.weight, qt.leaf, qt.field)
         all_keys = sorted(set(key_groups) | set(key_weight))
 
+        # ---- phrase matches ----
+        phrases_df = None
+        live_phrases = [p for p in phrase_specs if p.field_tokens]
+
+        # Vacuous-matcher fast path: for a plain scored OR (msm<=1, no
+        # phrases/negation/hook, every scanned key belongs to a positive
+        # group) the matcher predicate "matched >= 1 group" is true for
+        # EVERY row the postings scan produced — so group tracking is
+        # dead weight.  Skipping it turns the ObjectHashAggregate
+        # (collect_list of group ids shipped through the shuffle per
+        # posting) into a whole-stage-codegen'd sum aggregate: smaller
+        # shuffle payload and a codegen'd hot loop — the thing you want
+        # at 100 TB, measured ~25% faster at sf0.1 too.
+        vacuous = (
+            bool(all_keys)
+            and not live_phrases
+            and not may_match_empty(plan.matcher)
+            and needs_score
+            and P.is_pure_sum(plan.score_expr)
+            and not P.needs_score_hook(plan.score_node)
+            and self._matcher_vacuous(plan.matcher, key_groups, all_keys)
+        )
+
         scored = None
         if all_keys:
             key_df = self._key_info_df(all_keys, key_groups, key_weight)
@@ -600,11 +676,27 @@ class Searcher:
             )
             if doc_subset is not None:
                 cand = cand.join(F.broadcast(doc_subset), "doc_id", "left_semi")
-            scored = self._score_candidates(cand, key_df, needs_score, plan)
+            scored = self._score_candidates(
+                cand, key_df, needs_score, plan, track_groups=not vacuous
+            )
 
-        # ---- phrase matches ----
-        phrases_df = None
-        live_phrases = [p for p in phrase_specs if p.field_tokens]
+        if vacuous:
+            matched = scored
+            if plan.root_filter:
+                needed_cols = self._needed_doc_columns(plan)
+                if needed_cols:
+                    matched = matched.join(
+                        self.docs.select("doc_id", *sorted(needed_cols)),
+                        "doc_id",
+                        "left",
+                    )
+                matched = matched.where(
+                    compile_filters(matched, plan.root_filter)
+                )
+            return matched.select(
+                "doc_id", F.coalesce(F.col("_score"), F.lit(0.0)).alias("score")
+            )
+
         if live_phrases:
             phrases_df = self._phrase_matches(live_phrases)
 
@@ -742,8 +834,33 @@ class Searcher:
             "term STRING, groups ARRAY<INT>, weight DOUBLE, leaf INT, field STRING, df_key LONG",
         )
 
+    @staticmethod
+    def _matcher_vacuous(m, key_groups, all_keys) -> bool:
+        """True when "row exists in the postings scan" already implies
+        the matcher predicate, so per-doc group tracking can be skipped.
+        Requires every scanned key to carry >=1 positive group id."""
+        if not all_keys or any(not key_groups.get(k) for k in all_keys):
+            return False
+        gids = {g for gs in key_groups.values() for g in gs}
+        if isinstance(m, P.TermGroupRef):
+            return gids == {m.group_id}
+        if isinstance(m, P.QueryStringMatcher):
+            return (
+                not m.phrase_groups
+                and not m.not_term_groups
+                and bool(m.term_groups)
+                and (m.minimum_should_match or 1) <= 1
+                and gids <= set(m.term_groups)
+            )
+        return False
+
     def _score_candidates(
-        self, cand: DataFrame, key_df: DataFrame, needs_score: bool, plan
+        self,
+        cand: DataFrame,
+        key_df: DataFrame,
+        needs_score: bool,
+        plan,
+        track_groups: bool = True,
     ) -> DataFrame:
         joined = cand.join(F.broadcast(key_df), "term")
         if needs_score:
@@ -783,6 +900,12 @@ class Searcher:
             joined = joined.withColumn("_contrib", F.lit(0.0))
 
         pure = P.is_pure_sum(plan.score_expr)
+        if pure and not track_groups:
+            # vacuous-matcher path: plain codegen'd sum — no
+            # collect_list, no ObjectHashAggregate, minimal shuffle rows
+            return joined.groupBy("doc_id").agg(
+                F.sum("_contrib").alias("_score")
+            )
         if pure:
             return joined.groupBy("doc_id").agg(
                 F.array_distinct(F.flatten(F.collect_list("groups"))).alias(

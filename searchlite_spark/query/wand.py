@@ -62,6 +62,7 @@ def wand_topk(
     b: float = B_DEFAULT,
     postings: DataFrame | None = None,
     counters: dict | None = None,
+    theta_cache: dict | None = None,
 ) -> DataFrame:
     """key_meta: {key: {"weight", "df", "max_tf", "field"}}.
     Returns (doc_id, score) — exact top-k of Σ_t weight_t * bm25_t.
@@ -91,10 +92,17 @@ def wand_topk(
         theta = 0.0  # decode + score everything (the kernel oracle)
     else:
         seed_key = max(ubs, key=ubs.get)
-        if postings is not None:
+        # θ depends only on the seed term's immutable postings and
+        # (weight, k, k1, b) — cacheable across queries on a snapshot
+        ck = (seed_key, float(key_meta[seed_key]["weight"]), k, k1, b)
+        if theta_cache is not None and ck in theta_cache:
+            theta = theta_cache[ck]
+        elif postings is not None:
             theta = _seed_threshold_distributed(
                 postings, key_meta[seed_key], seed_key, avgdl, n_docs, k, k1, b
             )
+            if theta_cache is not None:
+                theta_cache[ck] = theta
         else:
             # no postings handle: run unpruned (still exact; theta only
             # controls skipping)
