@@ -923,6 +923,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _SEARCHERS[key] = Searcher(Index(out, spark))
         return _topk(_SEARCHERS[key], {"query": "merge sort"})
 
+    def maintenance_roundtrip(spark, sf_dir):
+        """Full maintenance cycle driver-gated in ONE query: build ->
+        delete_by_id -> compact -> verify_text_invariant -> search.
+        The oracle replays BM25 over the survivor set, so the green row
+        certifies the whole chain (writer.rs delete paths + segment
+        merge + the byte-identical-text per-row invariant)."""
+        from searchlite_spark.index.catalog import Index
+        from searchlite_spark.index.maintenance import (
+            compact,
+            delete_by_id,
+            verify_text_invariant,
+        )
+        from searchlite_spark.query import Searcher
+
+        _searcher(spark, sf_dir)  # ensure the base index exists
+        key = sf_dir + "#mr"
+        if key not in _SEARCHERS:
+            out_del = _index_dir(sf_dir) + "_mr_del"
+            out = _index_dir(sf_dir) + "_mr"
+            if not os.path.exists(os.path.join(out, "manifest.json")):
+                delete_by_id(
+                    spark, _index_dir(sf_dir), out_del, list(range(10))
+                )
+                compact(spark, out_del, out)
+            idx = Index(out, spark)
+            survivors = _docs(spark, sf_dir).where(F.col("doc_id") >= 10)
+            rep = verify_text_invariant(
+                idx, survivors, key_col="doc_id", text_col="text"
+            )
+            if (
+                rep["mismatched"]
+                or rep["missing_in_index"]
+                or rep["missing_in_source"]
+            ):
+                raise AssertionError(f"text invariant violated: {rep}")
+            _SEARCHERS[key] = Searcher(idx)
+        return _topk(_SEARCHERS[key], {"query": "spark index"})
+
+    def append_bm25(spark, sf_dir):
+        """Incremental append (writer.rs:106-239 new-segment commits):
+        build over the first ~80% of ids, append_documents the rest —
+        the oracle is plain BM25 over the FULL corpus, so the green row
+        certifies build+append ≡ full rebuild."""
+        from searchlite_spark.index import (
+            IndexSchema,
+            KeywordField,
+            NumericField,
+            TextField,
+            append_documents,
+            build_index,
+        )
+        from searchlite_spark.index.catalog import Index
+        from searchlite_spark.query import Searcher
+
+        key = sf_dir + "#app"
+        if key not in _SEARCHERS:
+            out = _index_dir(sf_dir) + "_app"
+            if not os.path.exists(os.path.join(out, "manifest.json")):
+                corpus = _docs(spark, sf_dir)
+                mx = corpus.agg(F.max("doc_id").alias("m")).first()["m"]
+                split = int(mx * 4 // 5)
+                schema = IndexSchema(
+                    doc_id_field="doc_id",
+                    text_fields=(TextField("text"),),
+                    keyword_fields=(KeywordField("lang"), KeywordField("source")),
+                    numeric_fields=(NumericField("n_chars"),),
+                )
+                idx = build_index(
+                    spark,
+                    corpus.where(F.col("doc_id") <= split),
+                    schema,
+                    out,
+                    id_mode="column",
+                )
+                append_documents(
+                    spark,
+                    idx,
+                    corpus.where(F.col("doc_id") > split),
+                    id_mode="column",
+                )
+            _SEARCHERS[key] = Searcher(Index(out, spark))
+        return _topk(_SEARCHERS[key], {"query": "query plan"})
+
     def search_after_sorted(spark, sf_dir):
         """Sorted-path keyset pagination: page 2 resumes from page 1's
         (sort key, doc_id) cursor (reader.rs:614-901 sort cursors)."""
@@ -990,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hybrid_search=hybrid_search,
         simhash_near_dups=simhash_near_dups,
         delete_rebuild_bm25=delete_rebuild_bm25,
+        maintenance_roundtrip=maintenance_roundtrip,
+        append_bm25=append_bm25,
     )
 
     Q.update(
@@ -1004,25 +1089,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash=simhash_q,
         lsh_ann_topk=lsh_ann_q,
     )
-    # The driver checks the FIRST 50 entries in insertion order.  Defer
-    # 12 queries that are (a) green in CORRECTNESS_r02 and (b) redundant
-    # with an in-window cousin, so the 12 entries that never got a
-    # driver row (pipeline ops, delete-rebuild, simhash retrieval) land
-    # inside the window this round.  Deferred ≠ dropped: they stay
-    # registered (and pytest-covered), just after position 50.
+    # The driver checks the FIRST 50 entries in insertion order.  The
+    # window ROTATES round-robin: everything deferred in round 3 (green
+    # in CORRECTNESS_r02) is back IN the round-4 window, and this
+    # round's deferrals are all green in CORRECTNESS_r03 — so no
+    # query's external evidence is ever older than two rounds.  Each
+    # deferral has an in-window cousin on the same code path, and
+    # queries whose code changed THIS round (histogram/date_histogram/
+    # composite caps, cursor generation, vacuous-matcher scoring,
+    # kernel seed cache, append/maintenance) all stay in-window.
+    # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
-        "bm25_single_term_bmw",  # bm25_single_term + bm25_topk_bmw in-window
-        "bm25_topk_wand",        # bm25_topk_bmw covers the kernel path
-        "multi_match_most",      # multi_match_best in-window
-        "match_sorted",          # search_after_sorted covers sort plans
-        "constant_score_filter", # bm25_filter_lang / nested_filter cover filters
-        "agg_stats_nchars",      # agg_extended_stats is a superset
-        "agg_value_count",       # ditto
-        "agg_range_nchars",      # agg_histogram + agg_date_range cover ranges
-        "agg_cardinality_source",
-        "percentile_ranks_nchars",  # agg_percentiles in-window
-        "events_bucket_stats",   # derivative/moving_avg/bucket_script in-window
-        "events_top_users",      # events_type_daily covers window functions
+        "bm25_single_term",      # bm25_topk (vacuous brute) + bm25_single_term_bmw in-window
+        "bm25_topk_bmw",         # bm25_topk_wand in-window, same kernel + oracle
+        "wildcard_match",        # regex_match in-window, same expansion path
+        "fuzzy_match",           # distributed levenshtein also in suggest_completion_s
+        "rank_feature_nchars",   # function_score_fvf + script_score in-window
+        "multi_match_best",      # multi_match_most in-window
+        "agg_extended_stats",    # agg_stats_nchars + agg_value_count in-window
+        "agg_percentiles_nchars",  # percentile_ranks_nchars in-window
+        "agg_date_range_events", # agg_range_nchars in-window
+        "events_moving_avg",     # events_derivative + events_bucket_script in-window
+        "events_date_histogram", # events_type_daily groups by the same calendar
+        "bool_should_msm",       # bm25_bool_must + dis_max_tie in-window
+        "bm25_range_filter",     # bm25_filter_lang + nested_filter in-window
+        "top_hits_per_lang",     # collapse_lang (grouped top-k) in-window
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -1500,6 +1591,32 @@ FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
             "\ntok AS (",
             1,
         )
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+
+    # maintenance_roundtrip: delete+compact+verify then search — same
+    # survivor-corpus replay as delete_rebuild, different query terms
+    _mr_inner = (
+        _bm25_cte(["spark", "index"])
+        .replace("FROM documents", "FROM corpus")
+        .replace("JOIN documents", "JOIN corpus")
+    )
+    O["maintenance_roundtrip"] = (
+        _mr_inner.replace(
+            "\nWITH tok AS (",
+            "\nWITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),"
+            "\ntok AS (",
+            1,
+        )
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+
+    # append_bm25: build(80%) + append(20%) ≡ full rebuild — the oracle
+    # is plain BM25 over the WHOLE corpus
+    O["append_bm25"] = (
+        _bm25_cte(["query", "plan"])
         + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
