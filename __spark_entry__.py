@@ -879,6 +879,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = cosine_topk(emb, list(qvec), k=10)
         return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
+    def quantized_cosine_topk_q(spark, sf_dir):
+        """int8 scalar quantization (quant.rs:1-3) + integer-dot top-k.
+        Deterministic truncating casts on both engines -> full oracle.
+        (round(4) is safe here: qcos = int/127² can never land exactly
+        on a half-ulp-at-4dp boundary — 2·10⁴·dot = odd·127² has no
+        integer solution.)"""
+        from searchlite_spark.textops import quantized_cosine_topk
+
+        emb = _emb(spark, sf_dir)
+        qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        out = quantized_cosine_topk(emb, list(qvec), k=10)
+        return out.select("vec_id", F.round("qcos", 4).alias("qcos_r"))
+
     def minhash_near_dups(spark, sf_dir):
         """LSH-bucketed near-dup candidates, exact-Jaccard verified.
         Non-SQL-expressible (hash-dependent recall) -> rows-only check."""
@@ -1085,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         langid=langid_q,
         doc_fingerprint=fingerprint_q,
         ann_cosine_topk=ann_cosine_topk,
+        quantized_cosine_topk=quantized_cosine_topk_q,
         minhash_near_dups=minhash_near_dups,
         simhash=simhash_q,
         lsh_ann_topk=lsh_ann_q,
@@ -1114,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_should_msm",       # bm25_bool_must + dis_max_tie in-window
         "bm25_range_filter",     # bm25_filter_lang + nested_filter in-window
         "top_hits_per_lang",     # collapse_lang (grouped top-k) in-window
+        "script_score",          # function_score_fvf in-window covers the hook path
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -1743,6 +1758,26 @@ c AS (
 )
 SELECT vec_id, round(cosine, 4) AS cosine_r FROM c
 ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+    # int8 scalar quantization (quant.rs:1-3): saturate to [-128,127],
+    # truncate toward zero, integer dot rescaled by 1/127² — fully
+    # deterministic on both engines
+    O["quantized_cosine_topk"] = """
+WITH q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(TRUNC(LEAST(GREATEST(x * 127.0, -128.0), 127.0)) AS INTEGER)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+c AS (
+  SELECT e.vec_id,
+         list_dot_product(
+           list_transform(CAST(e.embedding AS DOUBLE[]),
+             x -> CAST(TRUNC(LEAST(GREATEST(x * 127.0, -128.0), 127.0)) AS INTEGER)),
+           q.qv) / (127.0 * 127.0) AS qcos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round(qcos, 4) AS qcos_r FROM c
+ORDER BY qcos DESC, vec_id ASC LIMIT 10"""
     # minhash_near_dups / simhash / lsh_ann_topk: hash-function-dependent
     # (xxhash64) -> intentionally no SQL oracle; driver rows-only check.
     return O

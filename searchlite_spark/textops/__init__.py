@@ -10,6 +10,9 @@ from searchlite_spark.textops.similarity import (  # noqa: F401
     cosine_topk,
     hybrid_topk,
     lsh_ann_topk,
+    quantize_embeddings,
+    quantize_query,
+    quantized_cosine_topk,
 )
 from searchlite_spark.textops.quality import (  # noqa: F401
     token_stats,

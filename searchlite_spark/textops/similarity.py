@@ -55,6 +55,59 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "embedding_q"
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the
+    reference's quantizer (vectors/quant.rs:1-3: ``(v * 127.0) as i8``,
+    i.e. saturate to [-128, 127] and truncate toward zero) as a pure
+    column expression.  4x smaller vectors; at 10^12 rows the quantized
+    column is what ships through shuffles and candidate re-ranks, the
+    f32 originals stay in the base table for final re-scoring."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.least(
+            F.greatest(x.cast("double") * 127.0, F.lit(-128.0)), F.lit(127.0)
+        ).cast("tinyint"),
+    )
+    return df.withColumn(out_col, q)
+
+
+def quantize_query(query_vec: list[float]) -> list[int]:
+    """Driver-side twin of ``quantize_embeddings`` (same saturating
+    truncation — Python int() truncates toward zero like Rust ``as``)."""
+    return [max(min(int(float(v) * 127.0), 127), -128) for v in query_vec]
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, qcos DOUBLE) — brute-force top-k over int8-quantized
+    vectors: both sides quantized with the reference rule, integer dot
+    product rescaled by 1/127².  This is the cheap first-pass ranking
+    (4x less data moved, integer multiply-adds); callers re-rank the
+    short candidate list with ``cosine_topk`` over the f32 originals
+    when exactness matters.  Deterministic — oracle-checkable."""
+    qq = quantize_query(query_vec)
+    qcol = F.array(*[F.lit(int(v)).cast("int") for v in qq])
+    quantized = quantize_embeddings(df, vec_col, "_q")
+    dot = F.aggregate(
+        F.zip_with(F.col("_q"), qcol, lambda a, b: a.cast("int") * b),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    score = dot.cast("double") / F.lit(127.0 * 127.0)
+    return (
+        quantized.select(F.col(id_col), score.alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def hybrid_topk(
     searcher,
     query,

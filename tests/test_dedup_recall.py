@@ -121,3 +121,48 @@ def test_lsh_ann_recall_on_clustered_vectors(spark):
                                     multiprobe=8).collect()]
     recall = len(set(brute) & set(approx)) / 10
     assert recall >= 0.8, f"recall {recall}: brute={brute} approx={approx}"
+
+
+def test_quantized_cosine_matches_reference_rule(spark):
+    """int8 quantization parity with quant.rs:1-3: (v*127) as i8 —
+    saturating, truncating toward zero — and the quantized ranking
+    tracks the exact cosine ranking on well-separated vectors."""
+    import numpy as np
+
+    from searchlite_spark.textops import (
+        cosine_topk,
+        quantize_embeddings,
+        quantize_query,
+        quantized_cosine_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(3, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(90):
+        v = base[i % 3] + rng.normal(scale=0.05, size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # edge values exercise saturation + truncation
+    rows.append((900, [1.5, -1.5] + [0.0] * 14))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    # column quantizer == reference rule computed in numpy
+    got = {
+        r["vec_id"]: r["embedding_q"]
+        for r in quantize_embeddings(df).select("vec_id", "embedding_q").collect()
+    }
+    for vid, vec in rows:
+        expect = [max(min(int(x * 127.0), 127), -128) for x in vec]
+        assert got[vid] == expect, vid
+    assert got[900][:2] == [127, -128]  # saturated
+    assert quantize_query(rows[0][1]) == [
+        max(min(int(x * 127.0), 127), -128) for x in rows[0][1]
+    ]
+
+    # quantized top-k ≈ exact top-k on separated clusters
+    q = rows[0][1]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    quant = [r["vec_id"] for r in quantized_cosine_topk(df, q, k=10).collect()]
+    assert len(set(exact) & set(quant)) >= 8
