@@ -1019,6 +1019,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _SEARCHERS[key] = Searcher(Index(out, spark))
         return _topk(_SEARCHERS[key], {"query": "query plan"})
 
+    def tombstone_bm25(spark, sf_dir):
+        """In-place tombstone delete (writer.rs tombstones, applied at
+        merge): hits exclude the deleted ids immediately while BM25
+        stats stay the snapshot's — so the oracle scores over the FULL
+        corpus and only filters the result rows."""
+        import shutil
+
+        from searchlite_spark.index.catalog import Index
+        from searchlite_spark.index.maintenance import tombstone_delete
+        from searchlite_spark.query import Searcher
+
+        _searcher(spark, sf_dir)  # ensure the base index exists
+        key = sf_dir + "#tmb"
+        if key not in _SEARCHERS:
+            out = _index_dir(sf_dir) + "_tmb"
+            if not os.path.exists(os.path.join(out, "manifest.json")):
+                # tombstone_delete mutates in place — work on a copy so
+                # the shared base index stays pristine
+                shutil.copytree(_index_dir(sf_dir), out)
+                tombstone_delete(spark, Index(out, spark), list(range(10)))
+            _SEARCHERS[key] = Searcher(Index(out, spark))
+        return _topk(_SEARCHERS[key], {"query": "merge sort"})
+
     def search_after_sorted(spark, sf_dir):
         """Sorted-path keyset pagination: page 2 resumes from page 1's
         (sort key, doc_id) cursor (reader.rs:614-901 sort cursors)."""
@@ -1088,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         delete_rebuild_bm25=delete_rebuild_bm25,
         maintenance_roundtrip=maintenance_roundtrip,
         append_bm25=append_bm25,
+        tombstone_bm25=tombstone_bm25,
     )
 
     Q.update(
@@ -1129,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_filter",     # bm25_filter_lang + nested_filter in-window
         "top_hits_per_lang",     # collapse_lang (grouped top-k) in-window
         "script_score",          # function_score_fvf in-window covers the hook path
+        "events_bucket_script",  # derivative + bucket_stats pipelines in-window
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -1633,6 +1658,15 @@ FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
     O["append_bm25"] = (
         _bm25_cte(["query", "plan"])
         + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+
+    # tombstone_bm25: stale-stats contract — score over the FULL corpus
+    # (tombstones reconcile stats only at compact), filter results only
+    O["tombstone_bm25"] = (
+        _bm25_cte(["merge", "sort"])
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " WHERE doc_id >= 10"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
 

@@ -185,3 +185,46 @@ def append_documents(
     manifest["lineage"] = lineage
     write_manifest(path, manifest)
     return Index(path=path, spark=spark)
+
+
+def upsert_documents(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    num_partitions: int | None = None,
+) -> Index:
+    """Replace-or-add by doc KEY (``schema.doc_id_field``) — the
+    reference writer's upsert: a re-added key replaces the previous
+    document, visible on commit (api/writer.rs:106-239 BTreeMap commit
+    order).  Spark-first: tombstone the current internal ids whose key
+    appears in the batch (one broadcast semi-join + a tiny parquet
+    append, maintenance.tombstone_delete), then ``append_documents``
+    the batch with FRESH ids after the current max.
+
+    Until ``compact``, BM25 stats include both the dead and the live
+    version (tombstone contract — stats reconcile at merge); searches
+    only ever see the live one.  Cost ∝ batch size."""
+    key = index.schema.doc_id_field
+    docs = index.docs()
+    if key not in docs.columns:
+        raise ValueError(
+            f"upsert_documents: key column {key!r} is not stored in the "
+            "docstore"
+        )
+    batch_keys = corpus.select(F.col(key).alias("_k")).distinct()
+    existing = [
+        r["doc_id"]
+        for r in docs.join(
+            F.broadcast(batch_keys), F.col(key) == F.col("_k"), "inner"
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    idx = index
+    if existing:
+        from searchlite_spark.index.maintenance import tombstone_delete
+
+        idx = tombstone_delete(spark, index, existing)
+    return append_documents(
+        spark, idx, corpus, num_partitions=num_partitions, id_mode="assign"
+    )

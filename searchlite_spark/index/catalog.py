@@ -69,6 +69,12 @@ class Index:
     def has_blocks(self) -> bool:
         return os.path.isdir(os.path.join(self.path, "blocks"))
 
+    def tombstones(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "tombstones"))
+
+    def has_tombstones(self) -> bool:
+        return os.path.isdir(os.path.join(self.path, "tombstones"))
+
 
 def write_manifest(path: str, manifest: dict) -> None:
     """Atomic manifest commit (write + rename), mirroring the

@@ -48,8 +48,55 @@ def compact(
     num_partitions: int | None = None,
 ) -> Index:
     """Compaction = the empty delete: rewrites every table (dropping
-    dead files / small fragments) and repacks the block-max postings."""
+    dead files / small fragments), repacks the block-max postings, and
+    APPLIES any pending tombstones (stats recomputed over survivors —
+    the reference's tombstones-at-segment-merge reconciliation)."""
     return _rewrite(spark, index_path, out_path, [], num_partitions)
+
+
+# hard ceiling on the tombstone set a Searcher will load driver-side;
+# the reference's segment model has the same pressure (too many
+# tombstones => merge).  Compact to clear.
+MAX_TOMBSTONES = 1_000_000
+
+
+def tombstone_delete(
+    spark: SparkSession, index: Index, doc_ids: list[int]
+) -> Index:
+    """In-place delete: record ``doc_ids`` as tombstones — NO rewrite.
+
+    The reference's writer marks deletes as tombstones applied lazily at
+    segment merge (api/writer.rs delete paths); until then, readers
+    filter tombstoned docs but score with the SEGMENT'S ORIGINAL df /
+    avgdl.  Same contract here: searches never return tombstoned docs,
+    but BM25 statistics stay those of the last build/compact — run
+    ``compact`` to reconcile stats and reclaim space.  Cost: one tiny
+    parquet append, independent of corpus size.
+
+    Bumps the manifest build_id so open cursors go stale."""
+    import uuid as _uuid
+
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return Index(path=index.path, spark=spark)
+    existing = 0
+    if index.has_tombstones():
+        existing = index.tombstones().count()
+    if existing + len(ids) > MAX_TOMBSTONES:
+        raise ValueError(
+            f"tombstone set would exceed {MAX_TOMBSTONES}; run compact() "
+            "to fold tombstones into a rewrite first"
+        )
+    spark.createDataFrame([(i,) for i in ids], "doc_id LONG").coalesce(
+        1
+    ).write.mode("append").parquet(f"{index.path}/tombstones")
+    manifest = dict(index.manifest)
+    lineage = dict(manifest.get("lineage") or {})
+    lineage["build_id"] = _uuid.uuid4().hex
+    lineage["tombstones"] = existing + len(ids)
+    manifest["lineage"] = lineage
+    write_manifest(index.path, manifest)
+    return Index(path=index.path, spark=spark)
 
 
 def _rewrite(
@@ -67,10 +114,15 @@ def _rewrite(
 
     postings = src.postings()
     docs = src.docs()
-    if doc_ids:
-        ids_df = F.broadcast(
-            spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id LONG")
-        )
+    dead = spark.createDataFrame(
+        [(int(i),) for i in doc_ids] or [], "doc_id LONG"
+    )
+    if src.has_tombstones():
+        # fold pending tombstones into the rewrite (the reference's
+        # apply-at-merge) — the output is tombstone-free
+        dead = dead.unionByName(src.tombstones().select("doc_id"))
+    if doc_ids or src.has_tombstones():
+        ids_df = F.broadcast(dead.distinct())
         postings = postings.join(ids_df, "doc_id", "left_anti")
         docs = docs.join(ids_df, "doc_id", "left_anti")
 

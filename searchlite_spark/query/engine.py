@@ -77,10 +77,29 @@ class Searcher:
         # only part pinned in executor memory — at 100 TB the raw text
         # dwarfs the metadata and must never be cached whole.
         self.docstore = index.docs()
+        self.postings = index.postings()
+        # tombstones (in-place deletes, maintenance.tombstone_delete):
+        # filtering the docstore/postings VIEWS here makes every path —
+        # brute scoring, phrases, aggs, sorts, docstore fetch, the
+        # kernel's seed job — tombstone-free with one broadcast
+        # anti-join; the WAND/BMW kernel additionally masks decoded ids
+        # (blocks are packed, not row-filterable).  BM25 stats stay the
+        # snapshot's (reference semantics: tombstones apply at merge).
+        self._exclude_ids: list[int] = []
+        if index.has_tombstones():
+            self._exclude_ids = sorted(
+                r["doc_id"] for r in index.tombstones().select("doc_id").distinct().collect()
+            )
+            tomb = F.broadcast(
+                self.spark.createDataFrame(
+                    [(i,) for i in self._exclude_ids], "doc_id LONG"
+                )
+            )
+            self.docstore = self.docstore.join(tomb, "doc_id", "left_anti")
+            self.postings = self.postings.join(tomb, "doc_id", "left_anti")
         text_cols = set(self.schema.text_field_names) & set(self.docstore.columns)
         fast_cols = [c for c in self.docstore.columns if c not in text_cols]
         self.docs = self.docstore.select(*fast_cols).persist()
-        self.postings = index.postings()
         self.terms = index.terms().persist()
         self.blocks = index.blocks() if index.has_blocks() else None
         self.expander = DictionaryExpander(self.terms)
@@ -603,6 +622,7 @@ class Searcher:
             postings=self.postings,
             counters=self.last_wand_counters,
             theta_cache=self._theta_cache,
+            exclude_ids=self._exclude_ids or None,
         )
 
     # -- core -----------------------------------------------------------

@@ -63,6 +63,7 @@ def wand_topk(
     postings: DataFrame | None = None,
     counters: dict | None = None,
     theta_cache: dict | None = None,
+    exclude_ids=None,
 ) -> DataFrame:
     """key_meta: {key: {"weight", "df", "max_tf", "field"}}.
     Returns (doc_id, score) — exact top-k of Σ_t weight_t * bm25_t.
@@ -139,7 +140,10 @@ def wand_topk(
     for key in meta:
         meta[key]["idf"] = float(idf[key])
 
-    kernel = _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters)
+    kernel = _make_kernel(
+        meta, theta, k, mode, bucket_width, k1, b, counters,
+        exclude_ids=exclude_ids,
+    )
     local = bucketed.groupBy("bucket").applyInPandas(
         kernel, "bucket LONG, doc_id LONG, score DOUBLE"
     )
@@ -185,7 +189,20 @@ def _seed_threshold_distributed(
     return float(rows[-1]["s"])
 
 
-def _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters=None):
+def _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters=None,
+                 exclude_ids=None):
+    """exclude_ids: tombstoned doc ids (sorted list/array) — masked out
+    after decode, before scoring, so deleted docs never occupy top-k
+    slots (blocks are immutable packed payloads; the row-level
+    anti-join that cleans the flat postings cannot reach inside)."""
+    import numpy as _np
+
+    exclude = (
+        _np.asarray(sorted(exclude_ids), dtype=_np.int64)
+        if exclude_ids is not None and len(exclude_ids)
+        else None
+    )
+
     def kernel(pdf):
         import numpy as np
         import pandas as pd
@@ -308,6 +325,8 @@ def _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters=None):
                 np.array([meta[t]["avgdl"] for t in surv_terms]), surv_ns
             )
             mask = (dids >= lo) & (dids <= hi)
+            if exclude is not None:
+                mask &= ~np.isin(dids, exclude, assume_unique=False)
             dids, tfs, dls = dids[mask], tfs[mask], dls[mask]
             wi, av = wi[mask], av[mask]
             dl_eff = np.where(dls > 0, dls, np.maximum(av, 1.0))

@@ -137,3 +137,102 @@ def test_append_assign_mode_and_id_guard(spark, tmp_path_factory, schemas):
             _corpus(spark, [(1, "dup id", "en")]),
             id_mode="column",
         )
+
+
+def test_tombstone_delete_and_compact(spark, tmp_path_factory, schemas):
+    """In-place tombstone deletes (writer.rs tombstones-at-merge): hits
+    exclude deleted docs immediately on every path, BM25 stats stay the
+    snapshot's until compact() reconciles them."""
+    from searchlite_spark.index import build_index
+    from searchlite_spark.index.catalog import Index
+    from searchlite_spark.index.maintenance import compact, tombstone_delete
+
+    path = str(tmp_path_factory.mktemp("tomb"))
+    idx = build_index(
+        spark, _corpus(spark, ROWS_A + ROWS_B), schemas, path,
+        num_partitions=2, id_mode="column", block_size=4,
+    )
+    s0 = Searcher(idx)
+    before = {h["doc_id"]: h["score"]
+              for h in s0.search({"query": "rust", "limit": 10})["hits"]}
+    assert 0 in before and 10 in before
+
+    idx2 = tombstone_delete(spark, idx, [0, 2])
+    s1 = Searcher(idx2)
+    res = s1.search({"query": "rust", "limit": 10})
+    got = {h["doc_id"]: h["score"] for h in res["hits"]}
+    assert 0 not in got and 2 not in got
+    # stale-stats contract: survivors keep their ORIGINAL scores
+    assert got[10] == before[10]
+    expected_live = [d for d in before if d not in (0, 2)]
+    assert res["total_hits_estimate"] == len(expected_live)
+    # kernel path masks tombstones too (and must not let them hold
+    # top-k slots): brute == wand == bmw on the filtered index
+    brute = [(r["doc_id"], round(r["score"], 6)) for r in
+             s1.topk({"query": "rust", "limit": 3, "execution": "bm25"}).collect()]
+    for ex in ("wand", "bmw"):
+        kern = [(r["doc_id"], round(r["score"], 6)) for r in
+                s1.topk({"query": "rust", "limit": 3, "execution": ex}).collect()]
+        assert kern == brute, ex
+        assert s1.last_execution == ex
+    assert all(d not in (0, 2) for d, _ in brute)
+
+    # aggregations run over the filtered match set
+    from searchlite_spark.query.aggs import run_aggregations
+
+    m = s1.match_set({"query": "rust"})
+    out = run_aggregations(m, s1.docs,
+                           {"l": {"type": "terms", "field": "lang"}})
+    assert sum(b["doc_count"] for b in out["l"]["buckets"]) == len(got)
+
+    # compact folds tombstones in; result == fresh build over survivors
+    out_path = str(tmp_path_factory.mktemp("tomb_compacted"))
+    compacted = compact(spark, path, out_path)
+    survivors = [r for r in ROWS_A + ROWS_B if r[0] not in (0, 2)]
+    fresh_path = str(tmp_path_factory.mktemp("tomb_fresh"))
+    fresh = build_index(spark, _corpus(spark, survivors), schemas,
+                        fresh_path, num_partitions=2, id_mode="column",
+                        block_size=4)
+    assert compacted.stats == fresh.stats
+    assert not compacted.has_tombstones()
+    sc_, sf_ = Searcher(compacted), Searcher(fresh)
+    assert _search_all(sc_, QUERIES) == _search_all(sf_, QUERIES)
+
+
+def test_upsert_replaces_by_key(spark, tmp_path_factory):
+    """upsert = tombstone old version + append new version with a fresh
+    id (writer.rs BTreeMap replace): searches see only the live doc."""
+    from searchlite_spark.index import (
+        IndexSchema, KeywordField, TextField, build_index, upsert_documents,
+    )
+
+    schema = IndexSchema(
+        doc_id_field="_id",
+        text_fields=(TextField("body"),),
+        keyword_fields=(KeywordField("lang"),),
+    )
+    rows = [
+        ("a", "rust systems language", "en"),
+        ("b", "python scripting language", "en"),
+        ("c", "spark engine", "de"),
+    ]
+    corpus = spark.createDataFrame(rows, "_id STRING, body STRING, lang STRING")
+    path = str(tmp_path_factory.mktemp("upsert"))
+    idx = build_index(spark, corpus, schema, path, num_partitions=2)
+
+    batch = spark.createDataFrame(
+        [("b", "golang compiled language fresh", "en"),
+         ("d", "new document rust", "en")],
+        "_id STRING, body STRING, lang STRING",
+    )
+    idx2 = upsert_documents(spark, idx, batch)
+    s = Searcher(idx2)
+    # old version of b is invisible; new version + new doc d are live
+    assert not s.search({"query": "python", "limit": 5})["hits"]
+    got = s.search({"query": "golang", "limit": 5})["hits"]
+    assert [h["fields"]["_id"] for h in got] == ["b"]
+    got_d = s.search({"query": "document", "limit": 5})["hits"]
+    assert [h["fields"]["_id"] for h in got_d] == ["d"]
+    # every live key exactly once in the visible docstore
+    live = sorted(r["_id"] for r in s.docstore.select("_id").collect())
+    assert live == ["a", "b", "c", "d"]
