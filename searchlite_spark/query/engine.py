@@ -678,14 +678,21 @@ class Searcher:
         # posting) into a whole-stage-codegen'd sum aggregate: smaller
         # shuffle payload and a codegen'd hot loop — the thing you want
         # at 100 TB, measured ~25% faster at sf0.1 too.
-        vacuous = (
+        simple_shape = (
             bool(all_keys)
             and not live_phrases
             and not may_match_empty(plan.matcher)
             and needs_score
             and P.is_pure_sum(plan.score_expr)
             and not P.needs_score_hook(plan.score_node)
-            and self._matcher_vacuous(plan.matcher, key_groups, all_keys)
+        )
+        vacuous = simple_shape and self._matcher_vacuous(
+            plan.matcher, key_groups, all_keys
+        )
+        conj_need = (
+            self._matcher_conjunctive(plan.matcher, key_groups, all_keys)
+            if (simple_shape and not vacuous)
+            else None
         )
 
         scored = None
@@ -696,12 +703,21 @@ class Searcher:
             )
             if doc_subset is not None:
                 cand = cand.join(F.broadcast(doc_subset), "doc_id", "left_semi")
+            group_mode = (
+                "none" if vacuous else ("count" if conj_need else "full")
+            )
             scored = self._score_candidates(
-                cand, key_df, needs_score, plan, track_groups=not vacuous
+                cand, key_df, needs_score, plan, group_mode=group_mode
             )
 
-        if vacuous:
+        if vacuous or conj_need:
             matched = scored
+            if conj_need:
+                # pure AND of term groups: a doc qualifies iff it
+                # matched every group — codegen'd count, no group arrays
+                matched = matched.where(
+                    F.col("_ng") == F.lit(int(conj_need))
+                ).drop("_ng")
             if plan.root_filter:
                 needed_cols = self._needed_doc_columns(plan)
                 if needed_cols:
@@ -855,6 +871,43 @@ class Searcher:
         )
 
     @staticmethod
+    def _matcher_conjunctive(m, key_groups, all_keys):
+        """Number of groups a doc must match when the matcher is a pure
+        AND of term groups (bool must of terms, or query_string whose
+        msm equals its group count) — else None.  Requires every key to
+        carry exactly ONE group id, so the scoring aggregate can count
+        distinct matched groups with a codegen'd count_distinct instead
+        of collecting group arrays."""
+        if not all_keys or any(
+            len(key_groups.get(k, [])) != 1 for k in all_keys
+        ):
+            return None
+        gids = {key_groups[k][0] for k in all_keys}
+        if isinstance(m, P.BoolMatcher):
+            if (
+                m.should
+                or m.must_not
+                or m.filter
+                or not m.must
+                or not all(isinstance(c, P.TermGroupRef) for c in m.must)
+            ):
+                return None
+            need = {c.group_id for c in m.must}
+            return len(need) if need == gids else None
+        if isinstance(m, P.QueryStringMatcher):
+            need = set(m.term_groups)
+            if (
+                m.phrase_groups
+                or m.not_term_groups
+                or not need
+                or need != gids
+                or (m.minimum_should_match or 1) != len(need)
+            ):
+                return None
+            return len(need)
+        return None
+
+    @staticmethod
     def _matcher_vacuous(m, key_groups, all_keys) -> bool:
         """True when "row exists in the postings scan" already implies
         the matcher predicate, so per-doc group tracking can be skipped.
@@ -880,8 +933,13 @@ class Searcher:
         key_df: DataFrame,
         needs_score: bool,
         plan,
-        track_groups: bool = True,
+        group_mode: str = "full",
     ) -> DataFrame:
+        """group_mode: "full" = collect matched group-id arrays (general
+        matcher evaluation); "count" = count distinct single group ids
+        (pure-AND matchers); "none" = no group tracking (vacuous
+        matchers).  "count"/"none" keep the aggregate inside whole-stage
+        codegen — no ObjectHashAggregate, no arrays in the shuffle."""
         joined = cand.join(F.broadcast(key_df), "term")
         if needs_score:
             dl_expr = F.col("dl")
@@ -920,11 +978,20 @@ class Searcher:
             joined = joined.withColumn("_contrib", F.lit(0.0))
 
         pure = P.is_pure_sum(plan.score_expr)
-        if pure and not track_groups:
+        if pure and group_mode == "none":
             # vacuous-matcher path: plain codegen'd sum — no
             # collect_list, no ObjectHashAggregate, minimal shuffle rows
             return joined.groupBy("doc_id").agg(
                 F.sum("_contrib").alias("_score")
+            )
+        if pure and group_mode == "count":
+            # conjunctive path: every key carries exactly one group id;
+            # count distinct matched groups codegen-side
+            return joined.withColumn(
+                "_gid", F.element_at(F.col("groups"), 1)
+            ).groupBy("doc_id").agg(
+                F.sum("_contrib").alias("_score"),
+                F.count_distinct(F.col("_gid")).alias("_ng"),
             )
         if pure:
             return joined.groupBy("doc_id").agg(
