@@ -66,6 +66,10 @@ def append_documents(
     from pyspark import StorageLevel
 
     t0 = time.time()
+    # re-open the index from disk: Index caches its manifest per handle,
+    # and appending twice through one stale handle would compute
+    # n_docs/avgdl from pre-first-append stats
+    index = Index(path=index.path, spark=spark)
     schema = index.schema
     manifest = dict(index.manifest)
     path = index.path
@@ -81,13 +85,31 @@ def append_documents(
             docs = docs.withColumn(
                 "doc_id", F.col(schema.doc_id_field).cast("long")
             )
-        bad = docs.where(F.col("doc_id") <= old_max).limit(1).count()
-        if bad:
+        # one aggregate validates the whole batch: no id at/below the
+        # current max, no NULLs (failed casts), no duplicates — any of
+        # these would silently corrupt postings merges
+        chk = docs.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+            F.sum(F.col("doc_id").isNull().cast("long")).alias("nulls"),
+            F.min("doc_id").alias("mn"),
+        ).first()
+        if int(chk["nulls"] or 0) > 0:
+            raise ValueError(
+                "append_documents(id_mode='column'): batch has NULL "
+                "doc_id (non-castable key values)"
+            )
+        if chk["mn"] is not None and int(chk["mn"]) <= old_max:
             raise ValueError(
                 f"append_documents(id_mode='column'): batch contains "
                 f"doc_id <= current max ({old_max}); ids must be new"
             )
-        n_new = docs.count()
+        if int(chk["nd"]) != int(chk["n"]):
+            raise ValueError(
+                "append_documents(id_mode='column'): batch contains "
+                "duplicate doc_ids"
+            )
+        n_new = int(chk["n"])
     else:
         docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
         docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(old_max + 1))
@@ -108,9 +130,15 @@ def append_documents(
     try:
         batch_postings.write.mode("append").parquet(f"{path}/postings")
 
-        # ---- docstore append (schema-aligned with the existing files) ----
+        # ---- docstore append (schema-aligned with the existing files;
+        # range-clustered by doc_id like the base build, so the
+        # appended files keep tight row-group min/max for id fetches) ----
         store_cols = index.docs().columns
-        docs.select(*store_cols).write.mode("append").parquet(f"{path}/docs")
+        docs.select(*store_cols).repartitionByRange(
+            max(num_partitions // 4, 1), "doc_id"
+        ).sortWithinPartitions("doc_id").write.mode("append").parquet(
+            f"{path}/docs"
+        )
 
         # ---- term dictionary merge (cost ∝ vocabulary) ----
         delta = batch_postings.groupBy("term").agg(
@@ -150,29 +178,10 @@ def append_documents(
         batch_postings.unpersist()
 
     # ---- stats + manifest (written last) ----
-    import numpy as np
+    from searchlite_spark.index.build import compute_stats
 
-    text_names = schema.text_field_names
-    totals_rows = (
-        terms_df.where(F.col("field").isin(text_names))
-        .groupBy("field")
-        .agg(F.sum("cf").alias("total"))
-        .collect()
-        if text_names
-        else []
-    )
-    totals = {r["field"]: int(r["total"]) for r in totals_rows}
     n_docs = int(manifest["stats"]["n_docs"]) + int(n_new)
-    manifest["stats"] = {
-        "n_docs": n_docs,
-        "avgdl": {
-            f: float(np.float32(totals.get(f, 0)) / np.float32(n_docs))
-            if n_docs
-            else 0.0
-            for f in text_names
-        },
-        "total_tokens": {f: totals.get(f, 0) for f in text_names},
-    }
+    manifest["stats"] = compute_stats(terms_df, n_docs, schema.text_field_names)
     lineage = dict(manifest.get("lineage") or {})
     lineage["build_id"] = uuid.uuid4().hex
     lineage.setdefault("appends", []).append(
@@ -204,12 +213,26 @@ def upsert_documents(
     Until ``compact``, BM25 stats include both the dead and the live
     version (tombstone contract — stats reconcile at merge); searches
     only ever see the live one.  Cost ∝ batch size."""
+    index = Index(path=index.path, spark=spark)  # fresh manifest view
     key = index.schema.doc_id_field
     docs = index.docs()
     if key not in docs.columns:
         raise ValueError(
             f"upsert_documents: key column {key!r} is not stored in the "
             "docstore"
+        )
+    # a batch with the same key twice has no defined "last write" in an
+    # unordered DataFrame — reject instead of silently keeping both
+    # (the reference's BTreeMap keeps the last *inserted*, an order a
+    # DataFrame cannot express)
+    kc = corpus.agg(
+        F.count("*").alias("n"), F.count_distinct(key).alias("nd")
+    ).first()
+    if int(kc["n"]) != int(kc["nd"]):
+        raise ValueError(
+            "upsert_documents: batch contains duplicate keys — "
+            "pre-deduplicate to one row per key (no row order exists to "
+            "pick a 'last' version)"
         )
     batch_keys = corpus.select(F.col(key).alias("_k")).distinct()
     existing = [

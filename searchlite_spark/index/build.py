@@ -483,6 +483,35 @@ def tokenize_postings_best(docs: DataFrame, schema: IndexSchema) -> tuple[DataFr
     return tokenize_postings(docs, schema), False
 
 
+def compute_stats(terms_df: DataFrame, n_docs: int, text_names) -> dict:
+    """Global stats from the term dictionary: avgdl = f32(Σ cf) / f32(N)
+    (segment.rs compute_avg_lengths — the float32 division is
+    oracle-parity-critical; this is the ONE place it lives, shared by
+    build / append / rewrite so the three paths cannot drift)."""
+    import numpy as np
+
+    text_names = list(text_names)
+    totals_rows = (
+        terms_df.where(F.col("field").isin(text_names))
+        .groupBy("field")
+        .agg(F.sum("cf").alias("total"))
+        .collect()
+        if text_names
+        else []
+    )
+    totals = {r["field"]: int(r["total"]) for r in totals_rows}
+    return {
+        "n_docs": int(n_docs),
+        "avgdl": {
+            f: float(np.float32(totals.get(f, 0)) / np.float32(n_docs))
+            if n_docs
+            else 0.0
+            for f in text_names
+        },
+        "total_tokens": {f: totals.get(f, 0) for f in text_names},
+    }
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -629,36 +658,12 @@ def build_index(
     terms_df = spark.read.parquet(terms_path)
     _mark("terms")
 
-    # Global stats (single-segment scope): avgdl = f32(Σ dl) / f32(N)
-    # (segment.rs compute_avg_lengths).  Σ dl per field = Σ tf = Σ cf —
-    # aggregated from the (tiny) term dictionary just written, NOT a
+    # Global stats (single-segment scope): Σ dl per field = Σ tf = Σ cf
+    # — aggregated from the (tiny) term dictionary just written, NOT a
     # second scan of the full postings table (fuses a serial barrier
     # out of the build's critical path).
-    totals_rows = (
-        terms_df.where(F.col("field").isin(text_names))
-        .groupBy("field")
-        .agg(F.sum("cf").alias("total"))
-        .collect()
-        if text_names
-        else []
-    )
-    totals = {f"total_{r['field']}": r["total"] for r in totals_rows}
+    stats = compute_stats(terms_df, n_docs, text_names)
     _mark("totals")
-    import numpy as np
-
-    avgdl = {
-        fname: float(
-            np.float32(totals.get(f"total_{fname}") or 0) / np.float32(n_docs)
-        )
-        if n_docs
-        else 0.0
-        for fname in text_names
-    }
-    stats = {
-        "n_docs": int(n_docs),
-        "avgdl": avgdl,
-        "total_tokens": {f: int(totals.get(f"total_{f}") or 0) for f in text_names},
-    }
 
     if build_blocks:
         from searchlite_spark.index.blocks import build_block_postings

@@ -76,24 +76,34 @@ def tombstone_delete(
     Bumps the manifest build_id so open cursors go stale."""
     import uuid as _uuid
 
+    index = Index(path=index.path, spark=spark)  # fresh manifest view
     ids = sorted({int(i) for i in doc_ids})
     if not ids:
         return Index(path=index.path, spark=spark)
+    new_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
     existing = 0
     if index.has_tombstones():
-        existing = index.tombstones().count()
-    if existing + len(ids) > MAX_TOMBSTONES:
+        # dedupe against what's already recorded (idempotent retries
+        # must not inflate the cap) — one distributed anti-join, no
+        # driver roundtrip of the existing set
+        tomb = index.tombstones().select("doc_id")
+        existing = tomb.distinct().count()
+        new_df = new_df.join(tomb, "doc_id", "left_anti")
+    n_new = new_df.count()
+    if existing + n_new > MAX_TOMBSTONES:
         raise ValueError(
             f"tombstone set would exceed {MAX_TOMBSTONES}; run compact() "
             "to fold tombstones into a rewrite first"
         )
-    spark.createDataFrame([(i,) for i in ids], "doc_id LONG").coalesce(
-        1
-    ).write.mode("append").parquet(f"{index.path}/tombstones")
+    if n_new == 0:
+        return Index(path=index.path, spark=spark)
+    new_df.coalesce(1).write.mode("append").parquet(
+        f"{index.path}/tombstones"
+    )
     manifest = dict(index.manifest)
     lineage = dict(manifest.get("lineage") or {})
     lineage["build_id"] = _uuid.uuid4().hex
-    lineage["tombstones"] = existing + len(ids)
+    lineage["tombstones"] = existing + n_new
     manifest["lineage"] = lineage
     write_manifest(index.path, manifest)
     return Index(path=index.path, spark=spark)
@@ -150,26 +160,9 @@ def _rewrite(
 
     n_docs = new_docs.count()
     text_names = [t["name"] for t in manifest["schema"]["text_fields"]]
-    totals_rows = (
-        terms_df.where(F.col("field").isin(text_names))
-        .groupBy("field")
-        .agg(F.sum("cf").alias("total"))
-        .collect()
-        if text_names
-        else []
-    )
-    totals = {r["field"]: int(r["total"]) for r in totals_rows}
-    import numpy as np
+    from searchlite_spark.index.build import compute_stats
 
-    avgdl = {
-        f: float(np.float32(totals.get(f, 0)) / np.float32(n_docs)) if n_docs else 0.0
-        for f in text_names
-    }
-    stats = {
-        "n_docs": int(n_docs),
-        "avgdl": avgdl,
-        "total_tokens": {f: totals.get(f, 0) for f in text_names},
-    }
+    stats = compute_stats(terms_df, n_docs, text_names)
 
     if src.has_blocks():
         from searchlite_spark.index.blocks import build_block_postings
@@ -182,14 +175,22 @@ def _rewrite(
             num_partitions=num_partitions,
         )
 
+    import uuid as _uuid
+
     manifest["stats"] = stats
     manifest.setdefault("lineage", {})
-    manifest["lineage"] = dict(
+    lineage = dict(
         manifest["lineage"],
         compacted_from=index_path,
         deleted_ids=len(doc_ids),
         rewritten_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # the rewrite IS a new generation: docs and stats changed, so
+        # cursors minted against the source must go stale
+        build_id=_uuid.uuid4().hex,
     )
+    # the output is tombstone-free; don't carry the stale counter
+    lineage.pop("tombstones", None)
+    manifest["lineage"] = lineage
     manifest.setdefault("metrics", {})["rewrite_secs"] = round(time.time() - t0, 3)
     write_manifest(out_path, manifest)
     return Index(path=out_path, spark=spark)

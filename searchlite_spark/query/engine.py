@@ -87,13 +87,13 @@ class Searcher:
         # snapshot's (reference semantics: tombstones apply at merge).
         self._exclude_ids: list[int] = []
         if index.has_tombstones():
+            # anti-join directly against the parquet-backed tombstone
+            # table (no driver->createDataFrame roundtrip of up to 1M
+            # ids); the driver-side list exists only for the kernel's
+            # numpy mask
+            tomb = F.broadcast(index.tombstones().select("doc_id").distinct())
             self._exclude_ids = sorted(
-                r["doc_id"] for r in index.tombstones().select("doc_id").distinct().collect()
-            )
-            tomb = F.broadcast(
-                self.spark.createDataFrame(
-                    [(i,) for i in self._exclude_ids], "doc_id LONG"
-                )
+                r["doc_id"] for r in tomb.collect()
             )
             self.docstore = self.docstore.join(tomb, "doc_id", "left_anti")
             self.postings = self.postings.join(tomb, "doc_id", "left_anti")
@@ -224,11 +224,13 @@ class Searcher:
             # Corner: AQE empty-relation propagation can elide the
             # CollectMetrics node entirely (observed plan optimized to a
             # LocalTableScan) — then get's row conversion fails and the
-            # count falls back to a (near-free, empty-plan) count().
+            # count falls back to a count() of the FULL match set
+            # (`full_match_set`, not `scored`, which collapse /
+            # search_after may have rebound to a narrower frame).
             try:
                 total = int(obs.get["n"])
             except Exception:
-                total = scored.count()
+                total = full_match_set.count()
             resp["total_hits_estimate"] = total
         ids = [r["doc_id"] for r in top_rows]
         field_rows = {
@@ -515,7 +517,11 @@ class Searcher:
         import json as _json
 
         try:
-            key = _json.dumps(request, sort_keys=True, default=str)
+            # k1/b are public tuning attributes baked into the cached
+            # plan's BM25 expressions — key on them too
+            key = f"{self.k1}/{self.b}|" + _json.dumps(
+                request, sort_keys=True, default=str
+            )
         except TypeError:
             return self._matched_scored(request)
         hit = self._plan_cache.get(key)

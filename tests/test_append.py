@@ -236,3 +236,81 @@ def test_upsert_replaces_by_key(spark, tmp_path_factory):
     # every live key exactly once in the visible docstore
     live = sorted(r["_id"] for r in s.docstore.select("_id").collect())
     assert live == ["a", "b", "c", "d"]
+
+
+def test_review_fixes_guards(spark, tmp_path_factory, schemas):
+    """Round-4 review fixes: rewrite bumps generation, append rejects
+    dup/NULL batch ids, double-append through one handle is correct,
+    upsert rejects duplicate batch keys, tombstone retries stay
+    idempotent under the cap accounting."""
+    from searchlite_spark.index import append_documents, build_index, upsert_documents
+    from searchlite_spark.index.catalog import Index
+    from searchlite_spark.index.maintenance import (
+        delete_by_id, tombstone_delete,
+    )
+
+    path = str(tmp_path_factory.mktemp("guards"))
+    idx = build_index(spark, _corpus(spark, ROWS_A), schemas, path,
+                      num_partitions=2, id_mode="column")
+    gen0 = idx.manifest["lineage"]["build_id"]
+
+    # delete_by_id rewrite = new generation
+    out = str(tmp_path_factory.mktemp("guards_del"))
+    idx_del = delete_by_id(spark, path, out, [0])
+    assert idx_del.manifest["lineage"]["build_id"] != gen0
+
+    # duplicate ids in a column-mode batch are rejected
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        append_documents(
+            spark, idx,
+            _corpus(spark, [(100, "x y", "en"), (100, "y z", "en")]),
+            id_mode="column",
+        )
+    # NULL ids are rejected
+    from searchlite_spark.index import IndexSchema, KeywordField, TextField
+    import pyspark.sql.functions as F
+
+    nb = spark.createDataFrame(
+        [("x y", "en")], "body STRING, lang STRING"
+    ).withColumn("doc_id", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        append_documents(spark, idx, nb, id_mode="column")
+
+    # double-append through the SAME handle: stats equal a full rebuild
+    b1 = _corpus(spark, [(100, "alpha beta", "en")])
+    b2 = _corpus(spark, [(200, "gamma delta", "en")])
+    append_documents(spark, idx, b1, id_mode="column")
+    idx2 = append_documents(spark, idx, b2, id_mode="column")  # stale handle
+    full = build_index(
+        spark,
+        _corpus(spark, ROWS_A + [(100, "alpha beta", "en"),
+                                 (200, "gamma delta", "en")]),
+        schemas, str(tmp_path_factory.mktemp("guards_full")),
+        num_partitions=2, id_mode="column",
+    )
+    assert idx2.stats == full.stats
+
+    # upsert rejects duplicate batch keys
+    schema_k = IndexSchema(doc_id_field="_id",
+                           text_fields=(TextField("body"),),
+                           keyword_fields=(KeywordField("lang"),))
+    kpath = str(tmp_path_factory.mktemp("guards_up"))
+    kidx = build_index(
+        spark,
+        spark.createDataFrame([("a", "one", "en")],
+                              "_id STRING, body STRING, lang STRING"),
+        schema_k, kpath, num_partitions=2,
+    )
+    dup = spark.createDataFrame(
+        [("a", "two", "en"), ("a", "three", "en")],
+        "_id STRING, body STRING, lang STRING",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_documents(spark, kidx, dup)
+
+    # tombstone retry idempotency: same ids twice -> count stays 2
+    t1 = tombstone_delete(spark, Index(path, spark), [1, 3])
+    t2 = tombstone_delete(spark, Index(path, spark), [1, 3])
+    assert t2.manifest["lineage"]["tombstones"] == 2
+    assert t2.tombstones().distinct().count() == 2
+
