@@ -20,3 +20,8 @@ from searchlite_spark.textops.quality import (  # noqa: F401
     langid,
     doc_fingerprint,
 )
+from searchlite_spark.textops.extract import (  # noqa: F401
+    extract_text,
+    extract_text_col,
+    verify_extraction,
+)

@@ -38,3 +38,44 @@ def test_assign_ids_match_column_ids(spark):
     )
     rows = assigned.select("orig_id", "doc_id").collect()
     assert all(r["orig_id"] == r["doc_id"] for r in rows)
+
+
+def test_extract_text_reproduces_corpus_text(spark):
+    """The per-row ingest invariant (BASELINE input_hint): extracting
+    the html column byte-identically reproduces the stored text —
+    verified distributed (xxhash64), no text on the driver."""
+    from searchlite_spark.corpus import make_corpus
+    from searchlite_spark.textops import extract_text, verify_extraction
+
+    df = make_corpus(spark, 2000, partitions=4)
+    rep = verify_extraction(df)
+    assert rep == {"checked": 2000, "mismatched": 0}
+
+    # extraction is idempotent re-derivation: dropping text and
+    # re-extracting matches the original column
+    red = extract_text(df.drop("text"), "html", "text")
+    joined = df.select("url", "text").join(
+        red.select("url", red["text"].alias("text2")), "url"
+    )
+    from pyspark.sql import functions as F
+
+    assert joined.where(F.col("text") != F.col("text2")).count() == 0
+
+
+def test_extract_text_goldens(spark):
+    """Tag/script/entity/whitespace handling on hand-built pages."""
+    from searchlite_spark.textops import extract_text
+
+    rows = [
+        (1, b"<html><head><script>var x = '<b>no</b>';</script></head>"
+            b"<body><h1>Title</h1><p>a &amp;lt; b &amp; c &lt;tag&gt;</p>"
+            b"<style>p { color: red }</style>  spaced\n\nout</body></html>"),
+        (2, b"<p>plain</p>"),
+        (3, b"<!-- comment <b>gone</b> -->kept"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, html BINARY")
+    got = {r["doc_id"]: r["text"]
+           for r in extract_text(df).select("doc_id", "text").collect()}
+    assert got[1] == 'Title a &lt; b & c <tag> spaced out'
+    assert got[2] == "plain"
+    assert got[3] == "kept"
