@@ -166,3 +166,38 @@ def test_quantized_cosine_matches_reference_rule(spark):
     exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
     quant = [r["vec_id"] for r in quantized_cosine_topk(df, q, k=10).collect()]
     assert len(set(exact) & set(quant)) >= 8
+
+
+def test_lsh_bucket_table_partition_pruning(spark, tmp_path_factory):
+    """The scale claim of the LSH layout: written partitionBy(tbl,
+    bucket), a probe reads only the probed partitions — visible as
+    PartitionFilters on the scan, not a full-table scan."""
+    import io
+    import contextlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from searchlite_spark.textops.similarity import lsh_bucket_table
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = str(tmp_path_factory.mktemp("lsh_layout"))
+    lsh_bucket_table(df, dim=8, planes=4, tables=2).write.partitionBy(
+        "tbl", "bucket"
+    ).mode("overwrite").parquet(out)
+
+    table = spark.read.parquet(out)
+    probe = table.where((F.col("tbl") == 0) & F.col("bucket").isin([3, 5]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the partition predicates must reach the scan (not a post-filter)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "tbl" in pf_line and "bucket" in pf_line
+    # and the probe answers correctly
+    got = probe.select("vec_id", "tbl", "bucket").collect()
+    assert got and all(r["tbl"] == 0 and r["bucket"] in (3, 5) for r in got)
