@@ -1019,6 +1019,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _SEARCHERS[key] = Searcher(Index(out, spark))
         return _topk(_SEARCHERS[key], {"query": "query plan"})
 
+    def stream_append_bm25(spark, sf_dir):
+        """Structured Streaming ingestion: bootstrap-build over ~80% of
+        ids, drain the rest through stream_append (foreachBatch ->
+        append_documents micro-batch commits).  Stream-built == full
+        rebuild, so the oracle is plain BM25 over the whole corpus."""
+        from searchlite_spark.index import (
+            IndexSchema,
+            KeywordField,
+            NumericField,
+            TextField,
+            build_index,
+        )
+        from searchlite_spark.index.catalog import Index
+        from searchlite_spark.query import Searcher
+        from searchlite_spark.streaming import stream_append
+
+        key = sf_dir + "#stream"
+        if key not in _SEARCHERS:
+            out = _index_dir(sf_dir) + "_stream"
+            if not os.path.exists(os.path.join(out, "manifest.json")):
+                corpus = _docs(spark, sf_dir)
+                mx = corpus.agg(F.max("doc_id").alias("m")).first()["m"]
+                split = int(mx * 4 // 5)
+                schema = IndexSchema(
+                    doc_id_field="doc_id",
+                    text_fields=(TextField("text"),),
+                    keyword_fields=(KeywordField("lang"), KeywordField("source")),
+                    numeric_fields=(NumericField("n_chars"),),
+                )
+                build_index(
+                    spark,
+                    corpus.where(F.col("doc_id") <= split),
+                    schema,
+                    out,
+                    id_mode="column",
+                )
+                src = out + "_src"
+                corpus.where(F.col("doc_id") > split).write.mode(
+                    "overwrite"
+                ).parquet(src)
+                q = stream_append(
+                    spark,
+                    out,
+                    spark.readStream.schema(corpus.schema)
+                    .option("maxFilesPerTrigger", 4)
+                    .parquet(src),
+                    out + "_ckpt",
+                    id_mode="column",
+                )
+                q.awaitTermination(300)
+            _SEARCHERS[key] = Searcher(Index(out, spark))
+        return _topk(_SEARCHERS[key], {"query": "filter scan"})
+
     def tombstone_bm25(spark, sf_dir):
         """In-place tombstone delete (writer.rs tombstones, applied at
         merge): hits exclude the deleted ids immediately while BM25
@@ -1112,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         maintenance_roundtrip=maintenance_roundtrip,
         append_bm25=append_bm25,
         tombstone_bm25=tombstone_bm25,
+        stream_append_bm25=stream_append_bm25,
     )
 
     Q.update(
@@ -1154,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits_per_lang",     # collapse_lang (grouped top-k) in-window
         "script_score",          # function_score_fvf in-window covers the hook path
         "events_bucket_script",  # derivative + bucket_stats pipelines in-window
+        "agg_sampler",           # deterministic draw pytest-gated (test_pagination_sampling)
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -1657,6 +1712,14 @@ FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
     # is plain BM25 over the WHOLE corpus
     O["append_bm25"] = (
         _bm25_cte(["query", "plan"])
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+
+    # stream_append_bm25: bootstrap + streamed micro-batch commits ≡
+    # full rebuild — plain BM25 over the whole corpus
+    O["stream_append_bm25"] = (
+        _bm25_cte(["filter", "scan"])
         + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
