@@ -109,12 +109,37 @@ def tombstone_delete(
     return Index(path=index.path, spark=spark)
 
 
+def repair(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    num_partitions: int | None = None,
+) -> Index:
+    """Recover from a torn append (append.py crash-window note: a
+    failed append can leave postings files whose docs never landed).
+
+    The append writes postings -> docstore -> terms -> blocks ->
+    manifest, and every later window is self-healing under a plain
+    rewrite (terms/stats/blocks are recomputed from postings+docs).
+    The one poisonous window is *postings committed, docstore not*:
+    orphan posting rows for doc ids with no stored document.  repair =
+    compact that additionally drops postings whose doc_id is absent
+    from the docstore (one hash semi-join), then recomputes everything
+    — the output equals a fresh build over the documents that fully
+    committed."""
+    return _rewrite(
+        spark, index_path, out_path, [], num_partitions,
+        drop_orphan_postings=True,
+    )
+
+
 def _rewrite(
     spark: SparkSession,
     index_path: str,
     out_path: str,
     doc_ids: list[int],
     num_partitions: int | None,
+    drop_orphan_postings: bool = False,
 ) -> Index:
     t0 = time.time()
     src = Index(index_path, spark)
@@ -135,6 +160,12 @@ def _rewrite(
         ids_df = F.broadcast(dead.distinct())
         postings = postings.join(ids_df, "doc_id", "left_anti")
         docs = docs.join(ids_df, "doc_id", "left_anti")
+    if drop_orphan_postings:
+        # torn-append recovery: keep only postings whose document
+        # actually committed to the docstore
+        postings = postings.join(
+            docs.select("doc_id"), "doc_id", "left_semi"
+        )
 
     # filtered copies: no shuffle — per-file filters preserve the
     # (term, doc_id) / doc_id sorted layout

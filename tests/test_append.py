@@ -314,3 +314,38 @@ def test_review_fixes_guards(spark, tmp_path_factory, schemas):
     assert t2.manifest["lineage"]["tombstones"] == 2
     assert t2.tombstones().distinct().count() == 2
 
+
+
+def test_repair_recovers_torn_append(spark, tmp_path_factory, schemas):
+    """Crash window: postings files committed but the docstore write
+    never ran.  repair() drops the orphan postings and rebuilds derived
+    tables — output identical to a fresh build over the surviving
+    corpus."""
+    from searchlite_spark.index import build_index
+    from searchlite_spark.index.maintenance import repair
+
+    path = str(tmp_path_factory.mktemp("torn"))
+    idx = build_index(spark, _corpus(spark, ROWS_A), schemas, path,
+                      num_partitions=2, id_mode="column", block_size=4)
+
+    # simulate the torn append: ghost postings for doc 999 whose
+    # document never landed in the docstore
+    ghost = spark.createDataFrame(
+        [(999, "body", "body:rust", 3, [0, 1, 2], 3)],
+        "doc_id LONG, field STRING, term STRING, tf INT, "
+        "positions ARRAY<INT>, dl INT",
+    )
+    ghost.write.mode("append").parquet(f"{path}/postings")
+    # the corruption is visible before repair: df inflated
+    assert idx.postings().where("doc_id = 999").count() == 1
+
+    out = str(tmp_path_factory.mktemp("torn_repaired"))
+    fixed = repair(spark, path, out)
+    assert fixed.postings().where("doc_id = 999").count() == 0
+
+    fresh = build_index(spark, _corpus(spark, ROWS_A), schemas,
+                        str(tmp_path_factory.mktemp("torn_fresh")),
+                        num_partitions=2, id_mode="column", block_size=4)
+    assert fixed.stats == fresh.stats
+    sr, sf = Searcher(fixed), Searcher(fresh)
+    assert _search_all(sr, QUERIES) == _search_all(sf, QUERIES)
