@@ -1038,8 +1038,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key = sf_dir + "#stream"
         if key not in _SEARCHERS:
             out = _index_dir(sf_dir) + "_stream"
-            if not os.path.exists(os.path.join(out, "manifest.json")):
+            done_marker = out + "_DONE"
+            if not os.path.exists(done_marker):
+                # a partial run (crash/timeout between bootstrap and
+                # drain) must not be served — rebuild from scratch
+                import shutil
+
+                for d in (out, out + "_src", out + "_ckpt"):
+                    shutil.rmtree(d, ignore_errors=True)
                 corpus = _docs(spark, sf_dir)
+                n_total = corpus.count()
                 mx = corpus.agg(F.max("doc_id").alias("m")).first()["m"]
                 split = int(mx * 4 // 5)
                 schema = IndexSchema(
@@ -1068,7 +1076,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     out + "_ckpt",
                     id_mode="column",
                 )
-                q.awaitTermination(300)
+                finished = q.awaitTermination(600)
+                if not finished:
+                    q.stop()
+                    raise RuntimeError("stream drain did not finish in 600s")
+                n_indexed = Index(out, spark).stats["n_docs"]
+                if n_indexed != n_total:
+                    raise RuntimeError(
+                        f"stream drain incomplete: {n_indexed}/{n_total} docs"
+                    )
+                with open(done_marker, "w") as f:
+                    f.write("ok\n")
             _SEARCHERS[key] = Searcher(Index(out, spark))
         return _topk(_SEARCHERS[key], {"query": "filter scan"})
 

@@ -55,6 +55,7 @@ def append_documents(
     corpus: DataFrame,
     num_partitions: int | None = None,
     id_mode: str = "assign",
+    lineage_extra: dict | None = None,
 ) -> Index:
     """Append ``corpus`` to ``index`` in place; returns a fresh Index
     handle (re-open Searchers to see the new snapshot).
@@ -62,7 +63,10 @@ def append_documents(
     id_mode="assign": new dense ids continue after the current max id,
     ordered by the batch's doc-key order.  id_mode="column": the key
     column is the BIGINT id; every batch id must exceed the current max
-    (checked — overlapping ids would corrupt postings merges)."""
+    (checked — overlapping ids would corrupt postings merges).
+    lineage_extra: merged into the manifest lineage in the SAME atomic
+    write as the stats — callers (streaming) use it to record a commit
+    tag that cannot be separated from the commit itself."""
     from pyspark import StorageLevel
 
     t0 = time.time()
@@ -191,6 +195,8 @@ def append_documents(
             "secs": round(time.time() - t0, 3),
         }
     )
+    if lineage_extra:
+        lineage.update(lineage_extra)
     manifest["lineage"] = lineage
     write_manifest(path, manifest)
     return Index(path=path, spark=spark)

@@ -161,11 +161,18 @@ def _rewrite(
         postings = postings.join(ids_df, "doc_id", "left_anti")
         docs = docs.join(ids_df, "doc_id", "left_anti")
     if drop_orphan_postings:
-        # torn-append recovery: keep only postings whose document
-        # actually committed to the docstore
-        postings = postings.join(
-            docs.select("doc_id"), "doc_id", "left_semi"
+        # torn-append recovery: drop postings whose document never
+        # committed.  The orphan id set is tiny by construction (at most
+        # one torn batch), so compute it first and broadcast the
+        # anti-join — a direct semi-join against the full docstore would
+        # shuffle-sort the postings and destroy the per-file
+        # (term, doc_id) layout the no-shuffle copy below relies on.
+        orphans = F.broadcast(
+            postings.select("doc_id")
+            .distinct()
+            .join(docs.select("doc_id"), "doc_id", "left_anti")
         )
+        postings = postings.join(orphans, "doc_id", "left_anti")
 
     # filtered copies: no shuffle — per-file filters preserve the
     # (term, doc_id) / doc_id sorted layout

@@ -9,14 +9,24 @@ whose micro-batches become new-segment commits: ``foreachBatch`` →
 append.py); readers re-open the index to see newly committed batches,
 exactly like the reference's visible-on-commit contract.
 
-Delivery semantics: Structured Streaming replays an unacknowledged
+Delivery semantics.  Structured Streaming replays an unacknowledged
 micro-batch after a crash, and a parquet file append is not
-idempotent — so ``stream_append`` records every applied ``batch_id``
-in the manifest lineage and SKIPS batches already applied, upgrading
-foreachBatch's at-least-once to effective exactly-once (the standard
-idempotent-sink recipe).  The check-and-append runs inside the
-single-writer contract the index already has (one writer at a time,
-matching the reference's single-writer lock, writer.rs).
+idempotent, so:
+
+* the applied-batch watermark (``stream_max_batch`` — batch ids are
+  monotonically increasing, only the most recent unacknowledged batch
+  is ever replayed, so a single max suffices and stays O(1)) is
+  written in the SAME atomic manifest write as the append's stats
+  (``lineage_extra``) — an acknowledged commit can never lose its tag,
+  and a replayed acknowledged batch is skipped: exactly-once for every
+  batch whose append completed;
+* the residual window is a crash MID-append (some files written,
+  manifest not): on restart the replay either raises the column-mode
+  id guard (docs already landed — loud, not silent) or re-appends
+  orphan postings whose manifest never committed.  Run
+  ``maintenance.repair()`` before restarting a stream after a
+  mid-append crash — the same torn-commit discipline as any
+  file-append lake writer.
 """
 
 from __future__ import annotations
@@ -24,7 +34,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from searchlite_spark.index.append import append_documents
-from searchlite_spark.index.catalog import Index, write_manifest
+from searchlite_spark.index.catalog import Index
+
+
+def apply_stream_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_mode: str = "assign",
+    num_partitions: int | None = None,
+) -> bool:
+    """Commit one micro-batch; returns True if applied, False if the
+    batch id is at/below the recorded watermark (replay skip).  The
+    watermark rides in the append's own atomic manifest write."""
+    idx = Index(path=index_path, spark=spark)
+    mark = (idx.manifest.get("lineage") or {}).get("stream_max_batch")
+    if mark is not None and int(batch_id) <= int(mark):
+        return False
+    if batch_df.isEmpty():
+        return False
+    append_documents(
+        spark,
+        idx,
+        batch_df,
+        num_partitions=num_partitions,
+        id_mode=id_mode,
+        lineage_extra={"stream_max_batch": int(batch_id)},
+    )
+    return True
 
 
 def stream_append(
@@ -43,20 +81,10 @@ def stream_append(
     for continuous ingest.  Returns the StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        idx = Index(path=index_path, spark=spark)
-        applied = (idx.manifest.get("lineage") or {}).get("stream_batches", [])
-        if int(batch_id) in applied:
-            return  # replay after crash — already committed
-        idx = append_documents(
-            spark, idx, batch_df, num_partitions=num_partitions, id_mode=id_mode
+        apply_stream_batch(
+            spark, index_path, batch_df, batch_id,
+            id_mode=id_mode, num_partitions=num_partitions,
         )
-        manifest = dict(idx.manifest)
-        lineage = dict(manifest.get("lineage") or {})
-        lineage["stream_batches"] = list(applied) + [int(batch_id)]
-        manifest["lineage"] = lineage
-        write_manifest(index_path, manifest)
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

@@ -40,7 +40,9 @@ def extract_text_col(html_col):
     <style>/<!-- --> blocks -> strip all tags -> decode the core
     entities -> collapse whitespace runs to single spaces -> trim."""
     s = F.col(html_col).cast("string") if isinstance(html_col, str) else html_col.cast("string")
-    s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    # backreference: a <script> block must close with </script> (a
+    # "</style>" inside a script string must not terminate it)
+    s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
     for ent, ch in _ENTITIES:
