@@ -72,6 +72,8 @@ def test_extract_text_goldens(spark):
             b"<style>p { color: red }</style>  spaced\n\nout</body></html>"),
         (2, b"<p>plain</p>"),
         (3, b"<!-- comment <b>gone</b> -->kept"),
+        # a </style> inside a script string must NOT close the script
+        (4, b"<script>var a=\"</style>\";</script>visible text"),
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, html BINARY")
     got = {r["doc_id"]: r["text"]
@@ -79,3 +81,4 @@ def test_extract_text_goldens(spark):
     assert got[1] == 'Title a &lt; b & c <tag> spaced out'
     assert got[2] == "plain"
     assert got[3] == "kept"
+    assert got[4] == "visible text"
