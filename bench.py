@@ -78,38 +78,50 @@ KERNEL = [
 ]
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def run_query_suite(searcher, iterations=3):
+    """Per-query MEDIAN of `iterations` runs (single-shot samples on
+    this shared host swing 2-3x with load; see BENCH.md).  The raw
+    per-run samples are kept so the spread is externally visible."""
     from searchlite_spark.query.aggs import run_aggregations
 
     times: dict[str, float] = {}
-    for name, req in HEADLINE:
-        best = float("inf")
-        for _ in range(iterations):
-            t0 = time.time()
-            df = searcher.match_set(req)
-            from pyspark.sql import functions as F
+    runs: dict[str, list[float]] = {}
 
-            df.orderBy(F.desc("score"), F.asc("doc_id")).limit(
-                int(req.get("limit", 10))
-            ).collect()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 4)
+    def _timed(name, fn):
+        samples = []
+        for _ in range(iterations):
+            t0 = time.time()
+            fn()
+            samples.append(round(time.time() - t0, 4))
+        runs[name] = samples
+        times[name] = round(_median(samples), 4)
+
+    from pyspark.sql import functions as F
+
+    for name, req in HEADLINE:
+        _timed(
+            name,
+            lambda req=req: searcher.match_set(req)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(req.get("limit", 10)))
+            .collect(),
+        )
     for name, req in KERNEL:
-        best = float("inf")
-        for _ in range(iterations):
-            t0 = time.time()
-            searcher.topk(req).collect()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 4)
+        _timed(name, lambda req=req: searcher.topk(req).collect())
     for name, req, aggs in AGGS:
-        best = float("inf")
-        for _ in range(iterations):
-            t0 = time.time()
-            m = searcher.match_set(req)
-            run_aggregations(m, searcher.docs, aggs)
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 4)
-    return times
+        _timed(
+            name,
+            lambda req=req, aggs=aggs: run_aggregations(
+                searcher.match_set(req), searcher.docs, aggs
+            ),
+        )
+    return times, runs
 
 
 def main():
@@ -121,20 +133,30 @@ def main():
     from searchlite_spark import get_spark
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
-    searcher, idx, build_secs = build_and_searcher(spark, rebuild=True)
+    # build TWICE (fresh output dir each time) and report both samples:
+    # single-shot build times on this shared host are noise-dominated
+    # (BENCH.md r4 note) — the min of two is the comparable number, the
+    # spread between them is the visible noise floor.
+    build_runs = []
+    for _ in range(2):
+        searcher, idx, build_secs = build_and_searcher(spark, rebuild=True)
+        build_runs.append(round(build_secs, 2))
     n_docs = idx.stats["n_docs"]
-    times = run_query_suite(searcher)
+    times, runs = run_query_suite(searcher)
     total = round(sum(times.values()), 4)
+    best_build = min(build_runs)
     out = {
         "metric": "searchlite_spark query suite wall time",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_runs": runs,
         "sf": SF_DIR,
         "build": {
-            "secs": round(build_secs, 2) if build_secs else None,
+            "secs": best_build,
+            "runs": build_runs,
             "n_docs": n_docs,
-            "docs_per_sec": round(n_docs / build_secs, 1) if build_secs else None,
+            "docs_per_sec": round(n_docs / best_build, 1) if best_build else None,
         },
     }
     print(json.dumps(out))
