@@ -486,6 +486,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "key", "fg", "bg", F.round("score", 4).alias("score_r")
         )
 
+    def significant_terms_bgfilter(spark, sf_dir):
+        """significant_terms with a filtered background set
+        (aggs/mod.rs:240-282): bg = docs with lang='en' only, so the
+        ratios differ from the full-corpus row above and a key missing
+        from the filtered background keeps bg=0 / score=0."""
+        from searchlite_spark.query.aggs import significant_terms_agg
+
+        s = _searcher(spark, sf_dir)
+        m = s.match_set({"query": "spark"})
+        out = significant_terms_agg(
+            m, s.docs, "source", size=5,
+            background_filter=[{"KeywordEq": {"field": "lang", "value": "en"}}],
+        )
+        return out.select(
+            "key", "fg", "bg", F.round("score", 4).alias("score_r")
+        )
+
     def nested_filter_same_obj(spark, sf_dir):
         """Sibling Nested filters on one path inside an And must hold in
         a SINGLE object (query/filters.rs:52-82).  The props array is
@@ -534,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         collapse_lang=collapse_lang,
         top_hits_per_lang=top_hits_per_lang,
         significant_terms_source=significant_terms_source,
+        significant_terms_bgfilter=significant_terms_bgfilter,
         nested_filter_same_obj=nested_filter_same_obj,
         suggest_completion_s=suggest_completion_s,
     )
@@ -642,6 +660,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("ts_ms"),
         )
         return date_histogram_agg(md, "ts_ms", "1d")
+
+    def events_month_histogram(spark, sf_dir):
+        """date_histogram calendar intervals — UTC month truncation
+        plus ISO-Monday week truncation (aggs/mod.rs:3380-3465 calendar
+        path), the driver-visible complement to the fixed-interval
+        ceil-quirk row above.  The events corpus spans one month, so
+        the week rows are what make the check non-vacuous (5 buckets);
+        the month row pins the month branch."""
+        from searchlite_spark.query.aggs import date_histogram_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        md = ev.select(
+            F.col("event_id").alias("doc_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+            .cast("long")
+            .alias("ts_ms"),
+        )
+        mo = date_histogram_agg(md, "ts_ms", "month").withColumn(
+            "interval", F.lit("month")
+        )
+        wk = date_histogram_agg(md, "ts_ms", "week").withColumn(
+            "interval", F.lit("week")
+        )
+        return mo.unionByName(wk).orderBy("interval", "key")
 
     def events_type_daily(spark, sf_dir):
         """Windowed per-type daily counts + running total (window fn)."""
@@ -814,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         agg_composite=agg_composite,
         events_date_histogram=events_date_histogram,
         events_type_daily=events_type_daily,
+        events_month_histogram=events_month_histogram,
         events_top_users=events_top_users,
         events_derivative=events_derivative,
         events_moving_avg=events_moving_avg,
@@ -1382,6 +1425,27 @@ SELECT fg.key, fg.fg, bg.bg,
 FROM fg JOIN bg USING (key) CROSS JOIN tot
 ORDER BY (fg.fg / tot.fgt) / (bg.bg / tot.bgt) DESC, fg.key ASC LIMIT 5"""
 
+    # filtered background (aggs/mod.rs:240-282): bg set = lang='en'
+    # docs only; a fg key absent there keeps bg=0 and score=0.0
+    O["significant_terms_bgfilter"] = """
+WITH m AS (SELECT doc_id, source FROM documents
+           WHERE (' ' || text || ' ') LIKE '% spark %'),
+bgd AS (SELECT * FROM documents WHERE lower(lang) = 'en'),
+fg AS (SELECT source AS key, count(*)::BIGINT AS fg FROM m
+       WHERE source IS NOT NULL GROUP BY source),
+bg AS (SELECT source AS key, count(*)::BIGINT AS bg FROM bgd
+       WHERE source IS NOT NULL GROUP BY source),
+tot AS (SELECT (SELECT count(*) FROM m)::DOUBLE AS fgt,
+               (SELECT count(*) FROM bgd)::DOUBLE AS bgt),
+scored AS (
+  SELECT fg.key, fg.fg, coalesce(bg.bg, 0)::BIGINT AS bg,
+         CASE WHEN coalesce(bg.bg, 0) > 0
+              THEN (fg.fg / tot.fgt) / (bg.bg / tot.bgt) ELSE 0.0 END AS score
+  FROM fg LEFT JOIN bg USING (key) CROSS JOIN tot
+)
+SELECT key, fg, bg, round(score, 4) AS score_r
+FROM scored ORDER BY score DESC, key ASC LIMIT 5"""
+
     # same-object Nested semantics: only the lang object carries k=lang,
     # so the And reduces to lang='en' AND n_chars in range
     O["nested_filter_same_obj"] = """
@@ -1605,6 +1669,18 @@ WITH e AS (SELECT epoch_ms(ts)::BIGINT AS ts_ms FROM events)
 SELECT CAST(ceil(ts_ms / 86400000.0) AS BIGINT) * 86400000 AS key,
        count(*)::BIGINT AS doc_count
 FROM e GROUP BY 1 ORDER BY key"""
+    # calendar month + ISO-Monday week truncation in UTC
+    # (aggs/mod.rs:3380-3465); DuckDB's date_trunc('week') is also
+    # Monday-based, matching Spark
+    O["events_month_histogram"] = """
+SELECT epoch_ms(date_trunc('month', ts))::BIGINT AS key,
+       count(*)::BIGINT AS doc_count, 'month' AS interval
+FROM events GROUP BY 1
+UNION ALL
+SELECT epoch_ms(date_trunc('week', ts))::BIGINT AS key,
+       count(*)::BIGINT AS doc_count, 'week' AS interval
+FROM events GROUP BY 1
+ORDER BY interval, key"""
     O["events_type_daily"] = """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -308,9 +308,21 @@ def significant_terms_agg(
     docs: DataFrame,
     field: str,
     size: int = 10,
+    background_filter: list[dict] | None = None,
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """Foreground vs background doc-frequency ratio
-    (aggs/mod.rs:131-282): score = (fg/fg_total)/(bg/bg_total)."""
+    (aggs/mod.rs:131-282): score = (fg/fg_total)/(bg/bg_total).
+
+    background_filter (aggs/mod.rs:240-282): the background set is the
+    corpus restricted by a Filter-AST predicate instead of the full
+    corpus; a foreground key absent from the filtered background keeps
+    its bucket with bg=0 and score=0.0 (mod.rs:2527-2531).  One extra
+    filtered aggregation over the slim fast-field projection — the
+    filter is a pushdown-able Column predicate, never a second corpus
+    materialization."""
+    from searchlite_spark.query.filters import compile_filters
+
     md = _matched_docs(matches, docs, [field])
     fg = (
         _explode_if_array(md, field)
@@ -320,8 +332,11 @@ def significant_terms_agg(
         .groupBy("key")
         .agg(F.count("*").alias("fg"))
     )
+    bg_docs = docs
+    if background_filter:
+        bg_docs = docs.where(compile_filters(docs, list(background_filter)))
     bg = (
-        _explode_if_array(docs.select("doc_id", field), field)
+        _explode_if_array(bg_docs.select("doc_id", field), field)
         .where(F.col(field).isNotNull())
         .select("doc_id", F.col(field).alias("key"))
         .distinct()
@@ -329,13 +344,21 @@ def significant_terms_agg(
         .agg(F.count("*").alias("bg"))
     )
     fg_total = md.select("doc_id").distinct().count()
-    bg_total = docs.count()
+    bg_total = bg_docs.count()
     if fg_total == 0 or bg_total == 0:
         return fg.select("key", "fg", F.lit(0).alias("bg"), F.lit(0.0).alias("score")).limit(0)
-    out = fg.join(bg, "key").withColumn(
+    out = fg.join(bg, "key", "left").withColumn(
+        "bg", F.coalesce(F.col("bg"), F.lit(0))
+    ).withColumn(
         "score",
-        (F.col("fg") / F.lit(float(fg_total))) / (F.col("bg") / F.lit(float(bg_total))),
+        F.when(
+            F.col("bg") > 0,
+            (F.col("fg") / F.lit(float(fg_total)))
+            / (F.col("bg") / F.lit(float(bg_total))),
+        ).otherwise(F.lit(0.0)),
     )
+    if min_doc_count > 0:
+        out = out.where(F.col("fg") >= min_doc_count)
     return out.orderBy(F.col("score").desc(), F.col("key").asc()).limit(size)
 
 
@@ -658,6 +681,57 @@ def _validate_bounds_pair(name: str, kind: str, body: dict) -> None:
         )
 
 
+_FILTER_BODY_KEYS = {
+    "KeywordEq": ("field", "value"),
+    "KeywordIn": ("field", "values"),
+    "I64Range": ("field", "min", "max"),
+    "F64Range": ("field", "min", "max"),
+}
+
+
+def _validate_filter_ast(nodes, name: str, label: str) -> None:
+    """Structural check of a Filter-AST list (reader.rs:3641-3975
+    rejects malformed configs before any execution): every node is a
+    one-key dict of a known combinator/leaf, leaves carry their
+    required body keys.  Runs driver-side before any job."""
+    if not isinstance(nodes, (list, tuple)):
+        raise AggregationConfigError(
+            f"`{name}` {label} must be a list of filter nodes"
+        )
+
+    def walk(node):
+        if not isinstance(node, dict) or len(node) != 1:
+            raise AggregationConfigError(
+                f"`{name}` {label}: each filter node is a one-key dict, "
+                f"got {node!r}"
+            )
+        (kind, body), = node.items()
+        if kind in _FILTER_BODY_KEYS:
+            missing = [k for k in _FILTER_BODY_KEYS[kind] if k not in (body or {})]
+            if missing:
+                raise AggregationConfigError(
+                    f"`{name}` {label}: {kind} is missing {missing}"
+                )
+        elif kind in ("And", "Or"):
+            for sub in body or []:
+                walk(sub)
+        elif kind == "Not":
+            walk(body)
+        elif kind == "Nested":
+            if not isinstance(body, dict) or "path" not in body or "filter" not in body:
+                raise AggregationConfigError(
+                    f"`{name}` {label}: Nested requires `path` and `filter`"
+                )
+            walk(body["filter"])
+        else:
+            raise AggregationConfigError(
+                f"`{name}` {label}: unsupported filter `{kind}`"
+            )
+
+    for n in nodes:
+        walk(n)
+
+
 def validate_aggregations(schema, aggs: dict) -> None:
     """Config validation matrix (reader.rs:3641-3718), applied BEFORE
     any job runs: field-kind checks per agg type, sampling exclusivity,
@@ -670,6 +744,10 @@ def validate_aggregations(schema, aggs: dict) -> None:
         if kind in ("terms", "significant_terms", "rare_terms"):
             _ensure_keyword_fast(schema, body["field"], name)
             _validate_sampling(name, sampling)
+            if kind == "significant_terms" and body.get("background_filter") is not None:
+                _validate_filter_ast(
+                    body["background_filter"], name, "background_filter"
+                )
             validate_aggregations(schema, body.get("aggs") or {})
         elif kind in ("range", "date_range"):
             _ensure_numeric_fast(schema, body["field"], name)
@@ -1034,6 +1112,8 @@ def run_aggregations(matches: DataFrame, docs: DataFrame, aggs: dict) -> dict:
             rows = significant_terms_agg(
                 matches, docs, body["field"],
                 min(int(body.get("size", 10)), MAX_BUCKETS),
+                background_filter=body.get("background_filter"),
+                min_doc_count=int(body.get("min_doc_count", 1) or 0),
             ).collect()
             out[name] = {
                 "buckets": [

@@ -157,3 +157,26 @@ def test_top_hits_sort_fields_checked():
 def test_pipelines_and_unknown():
     ok({"a": {"derivative": {"buckets_path": "x>y"}}})
     bad({"a": {"frobnicate": {"field": "lang"}}}, "unsupported aggregation")
+
+
+# ---- significant_terms background_filter (aggs/mod.rs:240-282) ----------
+
+def test_background_filter_validates_before_any_job():
+    ok({"a": {"significant_terms": {"field": "lang", "background_filter": [
+        {"KeywordEq": {"field": "lang", "value": "en"}}]}}})
+    ok({"a": {"significant_terms": {"field": "lang", "background_filter": [
+        {"And": [{"I64Range": {"field": "rank", "min": 0, "max": 5}},
+                 {"Not": {"KeywordIn": {"field": "lang", "values": ["en"]}}}]}]}}})
+    # not a list
+    bad({"a": {"significant_terms": {"field": "lang",
+        "background_filter": {"KeywordEq": {"field": "lang", "value": "en"}}}}},
+        "must be a list")
+    # unknown node kind
+    bad({"a": {"significant_terms": {"field": "lang", "background_filter": [
+        {"Regex": {"field": "lang", "value": "e.*"}}]}}}, "unsupported filter")
+    # leaf missing a required body key
+    bad({"a": {"significant_terms": {"field": "lang", "background_filter": [
+        {"I64Range": {"field": "rank", "min": 0}}]}}}, "missing")
+    # Nested without path/filter
+    bad({"a": {"significant_terms": {"field": "lang", "background_filter": [
+        {"Nested": {"path": "props"}}]}}}, "requires")

@@ -166,6 +166,46 @@ def test_significant_terms(s):
     assert abs(by_key["alpha"]["score"] - 1.0) < 1e-9
 
 
+def test_significant_terms_background_filter(s):
+    """Filtered background set (aggs/mod.rs:240-282): fg = rust docs
+    with score 0..20 (tags alpha x2, beta x1); bg = docs with score
+    0..30 (alpha x3, beta x1, bg_total 4) — the filtered ratios differ
+    from the full-corpus ones, so a wrong background is caught."""
+    m = s.match_set({
+        "query": {"type": "bool", "must": [{"type": "term", "field": "body", "value": "rust"}],
+                  "filter": [{"I64Range": {"field": "score", "min": 0, "max": 20}}]},
+    })
+    out = run_aggregations(m, s.docs, {"sig": {
+        "type": "significant_terms", "field": "tag",
+        "background_filter": [{"I64Range": {"field": "score", "min": 0, "max": 30}}],
+    }})
+    by_key = {b["key"]: b for b in out["sig"]["buckets"]}
+    # alpha: (2/3)/(3/4) = 8/9; beta: (1/3)/(1/4) = 4/3
+    assert by_key["alpha"]["bg_count"] == 3
+    assert abs(by_key["alpha"]["score"] - 8 / 9) < 1e-9
+    assert by_key["beta"]["bg_count"] == 1
+    assert abs(by_key["beta"]["score"] - 4 / 3) < 1e-9
+    # beta outranks alpha under the filtered background
+    assert out["sig"]["buckets"][0]["key"] == "beta"
+
+
+def test_significant_terms_background_filter_zero_bg(s):
+    """A foreground key absent from the filtered background keeps its
+    bucket with bg_count=0 and score=0.0 (mod.rs:2527-2531)."""
+    m = s.match_set({
+        "query": {"type": "bool", "must": [{"type": "term", "field": "body", "value": "rust"}],
+                  "filter": [{"I64Range": {"field": "score", "min": 0, "max": 20}}]},
+    })
+    out = run_aggregations(m, s.docs, {"sig": {
+        "type": "significant_terms", "field": "tag",
+        "background_filter": [{"KeywordEq": {"field": "tag", "value": "alpha"}}],
+    }})
+    by_key = {b["key"]: b for b in out["sig"]["buckets"]}
+    assert by_key["beta"]["bg_count"] == 0
+    assert by_key["beta"]["score"] == 0.0
+    assert by_key["alpha"]["score"] > 0.0
+
+
 def test_pipeline_derivative_and_moving_avg(s, matches):
     out = run_aggregations(
         matches, s.docs,
