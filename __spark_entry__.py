@@ -936,27 +936,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("qcos", 4).alias("qcos_r"))
 
     def minhash_near_dups(spark, sf_dir):
-        """LSH-bucketed near-dup candidates, exact-Jaccard verified.
-        Non-SQL-expressible (hash-dependent recall) -> rows-only check."""
+        """Planted-duplicate recall, oracle-checkable: every doc gets an
+        exact copy under id+1000000 (Jaccard 1.0 over 3-shingles).
+        Identical texts have identical minhash signatures, so banded
+        LSH finds each planted pair with certainty — the probabilistic
+        part of LSH only affects non-identical pairs.  Returns
+        (n_planted, n_found): hash-INdependent counts DuckDB can
+        recompute (n_planted = docs with >=1 3-token shingle; every
+        planted pair is found, so the two are equal)."""
         from searchlite_spark.textops import minhash_lsh_pairs
+        from searchlite_spark.textops.dedup import shingles
 
-        docs = _docs(spark, sf_dir)
-        doubled = docs.select("doc_id", "text").unionByName(
-            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        doubled = docs.unionByName(
+            docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
         )
-        return minhash_lsh_pairs(doubled, threshold=0.9).orderBy("id_a", "id_b")
+        pairs = minhash_lsh_pairs(doubled, threshold=0.9, max_bucket_size=None)
+        n_planted = docs.where(
+            F.size(shingles(F.col("text"), 3)) > 0
+        ).agg(F.count("*").alias("n_planted"))
+        n_found = pairs.where(
+            F.col("id_b") == F.col("id_a") + 1000000
+        ).agg(F.count("*").alias("n_found"))
+        return n_planted.crossJoin(n_found)
 
     def simhash_q(spark, sf_dir):
+        """simhash determinism across partitionings: the per-bit sums
+        are exact integer aggregation, so the 64-bit signature of a doc
+        must be identical whether computed in 1 partition or 32.
+        Returns (n_docs, n_equal) — equal iff the distributed
+        aggregation is order-invariant; DuckDB recomputes both as the
+        count of docs with >=1 whitespace token."""
         from searchlite_spark.textops import simhash
 
-        return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        a = simhash(docs.coalesce(1))
+        b = simhash(docs.repartition(32, "doc_id")).withColumnRenamed(
+            "simhash", "simhash_b"
+        )
+        return a.join(b, "doc_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("simhash") == F.col("simhash_b")).cast("long")
+            ).alias("n_equal"),
+        )
 
     def lsh_ann_q(spark, sf_dir):
+        """Multi-table hyperplane LSH with planted exact copies of the
+        query vector (ids 1000000..1000004).  Identical vectors land in
+        the query's bucket in EVERY table, so all 5 copies + the query
+        row itself fill the top-6 with cosine 1.0 deterministically —
+        the full retrieval path (signature, multiprobe, partition-
+        pruned candidate fetch, exact re-rank, tie-break) is
+        oracle-checked against DuckDB brute-force cosine (second-best
+        native cosine is ~0.37, so no hash-dependent slot exists)."""
         from searchlite_spark.textops import lsh_ann_topk
 
-        emb = _emb(spark, sf_dir)
-        qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-        out = lsh_ann_topk(emb, list(qvec), k=5, multiprobe=4)
+        emb = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qvec = [float(x) for x in
+                emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        planted = spark.createDataFrame(
+            [(1000000 + i, qvec) for i in range(5)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        out = lsh_ann_topk(emb.unionByName(planted), qvec, k=6, multiprobe=4)
         return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
     def delete_rebuild_bm25(spark, sf_dir):
@@ -1205,17 +1250,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score_r"))
 
     def simhash_near_dups(spark, sf_dir):
-        """Hamming-banded simhash retrieval; hash-dependent -> rows-only
-        driver check (recall is pytest-gated on planted dups)."""
+        """Hamming-banded simhash retrieval with planted exact copies
+        (id+1000000): identical texts hash to the SAME signature
+        (Hamming 0), and the pigeonhole banding finds every pair within
+        Hamming<=3 with certainty — so (n_planted, n_found) are equal,
+        hash-independent, and DuckDB-recomputable as the count of docs
+        with >=1 whitespace token."""
         from searchlite_spark.textops import simhash_near_pairs
 
-        docs = _docs(spark, sf_dir)
-        doubled = docs.select("doc_id", "text").unionByName(
-            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        doubled = docs.unionByName(
+            docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
         )
-        return simhash_near_pairs(doubled, max_hamming=3).orderBy(
-            "id_a", "id_b"
-        )
+        pairs = simhash_near_pairs(doubled, max_hamming=3, max_bucket_size=None)
+        n_planted = docs.where(
+            F.trim(F.col("text")) != ""
+        ).agg(F.count("*").alias("n_planted"))
+        n_found = pairs.where(
+            F.col("id_b") == F.col("id_a") + 1000000
+        ).agg(F.count("*").alias("n_found"))
+        return n_planted.crossJoin(n_found)
 
     Q.update(
         search_after_sorted=search_after_sorted,
@@ -1870,7 +1924,13 @@ merged AS (
 SELECT doc_id, round(h, 4) AS score_r FROM merged
 ORDER BY h DESC, doc_id ASC LIMIT 10"""
     )
-    # simhash_near_dups: hash-function-dependent -> rows-only check
+    # simhash_near_dups: planted-duplicate recall counts (see the
+    # queries() docstring for why these are hash-independent: identical
+    # text => identical signature => pigeonhole banding finds the pair
+    # with certainty)
+    O["simhash_near_dups"] = """
+SELECT count(*)::BIGINT AS n_planted, count(*)::BIGINT AS n_found
+FROM documents WHERE text IS NOT NULL AND trim(text) <> ''"""
 
     # ---- pipeline ops ----
     O["dedup_exact_survivors"] = """
@@ -1969,6 +2029,41 @@ c AS (
 )
 SELECT vec_id, round(qcos, 4) AS qcos_r FROM c
 ORDER BY qcos DESC, vec_id ASC LIMIT 10"""
-    # minhash_near_dups / simhash / lsh_ann_topk: hash-function-dependent
-    # (xxhash64) -> intentionally no SQL oracle; driver rows-only check.
+    # minhash_near_dups: planted exact duplicates have identical minhash
+    # signatures, so banded LSH finds every planted pair with certainty;
+    # n_planted = docs with at least one 3-token shingle (>=3 whitespace
+    # tokens after trim), matching textops.dedup.shingles
+    O["minhash_near_dups"] = r"""
+SELECT count(*)::BIGINT AS n_planted, count(*)::BIGINT AS n_found
+FROM documents
+WHERE text IS NOT NULL AND trim(text) <> ''
+  AND len(string_split_regex(trim(text), '\s+')) >= 3"""
+
+    # simhash: partition-order invariance — integer bit-sums are exact,
+    # so both counts equal the number of docs with >=1 whitespace token
+    O["simhash"] = """
+SELECT count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_equal
+FROM documents WHERE text IS NOT NULL AND trim(text) <> ''"""
+
+    # lsh_ann_topk: brute-force cosine top-6 over the corpus augmented
+    # with 5 exact copies of the query vector (ids 1000000..1000004) —
+    # all six slots are cosine 1.0 with deterministic id tie-break
+    # (second-best native cosine ~0.37), so the LSH result must equal
+    # the exact result
+    O["lsh_ann_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT 1000000 + i AS vec_id, q.qv AS v
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+),
+c AS (
+  SELECT a.vec_id,
+         list_dot_product(a.v, q.qv)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM aug a CROSS JOIN q
+)
+SELECT vec_id, round(cosine, 4) AS cosine_r FROM c
+ORDER BY cosine DESC, vec_id ASC LIMIT 6"""
     return O

@@ -20,7 +20,37 @@ scale:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def _cap_buckets(
+    buckets: DataFrame, keys: list[str], cap: int, op: str, warn: bool
+) -> DataFrame:
+    """Drop bucket groups larger than ``cap`` members (they would launch
+    an m² self-join).  When ``warn`` is on, one extra aggregation job
+    runs NOW to count the dropped groups and emit a RuntimeWarning —
+    truncation is a recall change and must never be silent.  Pass
+    ``warn=False`` on web-scale runs where the extra job matters and
+    oversized-boilerplate drops are the expected, documented behavior."""
+    counts = buckets.groupBy(*keys).agg(F.count("*").alias("_n"))
+    if warn:
+        over = counts.where(F.col("_n") > cap).agg(
+            F.count("*").alias("groups"), F.sum("_n").alias("members")
+        ).first()
+        if int(over["groups"] or 0) > 0:
+            warnings.warn(
+                f"{op}: dropped {over['groups']} oversized bucket group(s) "
+                f"({over['members']} member rows > max_bucket_size={cap}); "
+                "pairs inside them are NOT reported. Run exact_dedup "
+                "first, raise max_bucket_size, or pass max_bucket_size="
+                "None for exhaustive small-corpus runs.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    ok = counts.where(F.col("_n") <= cap).select(*keys)
+    return buckets.join(ok, keys, "left_semi")
 
 
 def _tokens(col):
@@ -99,6 +129,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = 500,
+    warn_on_drop: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded LSH with
     exact-Jaccard verification of the candidates.
@@ -111,7 +142,10 @@ def minhash_lsh_pairs(
     duplicates, so run the (cheaper) exact_dedup pass first.  The cap
     is ON by default so raw web-scale input can never silently launch
     a quadratic self-join; pass ``max_bucket_size=None`` only on small
-    curated corpora where exhaustive pairs are required."""
+    curated corpora where exhaustive pairs are required.
+    warn_on_drop (default True) emits a RuntimeWarning with the dropped
+    group count whenever the cap actually fires (one extra aggregation
+    job at call time; disable at scale)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = F.explode(
@@ -134,13 +168,10 @@ def minhash_lsh_pairs(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     if max_bucket_size is not None:
-        ok = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "bucket")
+        buckets = _cap_buckets(
+            buckets, ["band", "bucket"], max_bucket_size,
+            "minhash_lsh_pairs", warn_on_drop,
         )
-        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (
@@ -219,6 +250,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
+    warn_on_drop: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, hamming) via banded simhash.
 
@@ -229,7 +261,9 @@ def simhash_near_pairs(
     ``bit_count(xor)`` verifies the true distance.  Same hot-bucket cap
     rationale as MinHash-LSH: default ON (1000) so web-scale input
     fails safe instead of launching a quadratic self-join; pass
-    ``max_bucket_size=None`` for exhaustive small-corpus runs."""
+    ``max_bucket_size=None`` for exhaustive small-corpus runs.
+    warn_on_drop: as in minhash_lsh_pairs — a RuntimeWarning (one extra
+    job) whenever the cap actually drops a bucket group."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sigs = simhash(df, text_col, id_col)
@@ -251,13 +285,10 @@ def simhash_near_pairs(
     for f in frames[1:]:
         b = b.unionByName(f)
     if max_bucket_size is not None:
-        ok = (
-            b.groupBy("band", "key")
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "key")
+        b = _cap_buckets(
+            b, ["band", "key"], max_bucket_size,
+            "simhash_near_pairs", warn_on_drop,
         )
-        b = b.join(ok, ["band", "key"], "left_semi")
     left, right = b.alias("l"), b.alias("r")
     cand = (
         left.join(

@@ -76,6 +76,29 @@ def test_minhash_hot_bucket_cap(spark, corpus):
     assert hit / len(planted) >= 0.95
 
 
+def test_bucket_cap_warns_when_it_drops(spark, corpus):
+    """Silent truncation is a recall change: when the cap actually
+    fires, a RuntimeWarning must name the operator and the dropped
+    group count; with no oversized buckets, no warning."""
+    import warnings as w
+
+    df, _ = corpus
+    boiler = spark.createDataFrame(
+        [(5000 + i, "boiler plate page empty nav footer " * 20) for i in range(50)],
+        "doc_id LONG, text STRING",
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        minhash_lsh_pairs(df.unionByName(boiler), threshold=0.6, max_bucket_size=20)
+    msgs = [str(c.message) for c in caught if c.category is RuntimeWarning]
+    assert any("minhash_lsh_pairs" in m and "dropped" in m for m in msgs)
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        minhash_lsh_pairs(df, threshold=0.6, max_bucket_size=10_000)
+    assert not [c for c in caught if c.category is RuntimeWarning]
+
+
 def test_simhash_near_pairs_recall(spark, corpus):
     df, planted = corpus
     out = simhash_near_pairs(df, max_hamming=12).collect()
