@@ -54,7 +54,10 @@ def compact(
     return _rewrite(spark, index_path, out_path, [], num_partitions)
 
 
-# hard ceiling on the tombstone set a Searcher will load driver-side;
+# hard ceiling on the pending tombstone set: queries stay correct at
+# any size (the set is only ever broadcast-anti-joined / cogrouped,
+# never driver-materialized), but a large fraction of dead rows means
+# every query pays scan+filter for documents that can never match —
 # the reference's segment model has the same pressure (too many
 # tombstones => merge).  Compact to clear.
 MAX_TOMBSTONES = 1_000_000

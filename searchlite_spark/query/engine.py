@@ -82,19 +82,17 @@ class Searcher:
         # filtering the docstore/postings VIEWS here makes every path —
         # brute scoring, phrases, aggs, sorts, docstore fetch, the
         # kernel's seed job — tombstone-free with one broadcast
-        # anti-join; the WAND/BMW kernel additionally masks decoded ids
-        # (blocks are packed, not row-filterable).  BM25 stats stay the
-        # snapshot's (reference semantics: tombstones apply at merge).
-        self._exclude_ids: list[int] = []
+        # anti-join; the WAND/BMW kernel masks decoded ids via a
+        # bucket-cogrouped tombstone DataFrame (blocks are packed, not
+        # row-filterable).  The tombstone set NEVER reaches the driver:
+        # everything stays a parquet-backed DataFrame, so tombstone
+        # volume costs no driver memory and no per-query closure
+        # serialization.  BM25 stats stay the snapshot's (reference
+        # semantics: tombstones apply at merge).
+        self._tombstones: DataFrame | None = None
         if index.has_tombstones():
-            # anti-join directly against the parquet-backed tombstone
-            # table (no driver->createDataFrame roundtrip of up to 1M
-            # ids); the driver-side list exists only for the kernel's
-            # numpy mask
             tomb = F.broadcast(index.tombstones().select("doc_id").distinct())
-            self._exclude_ids = sorted(
-                r["doc_id"] for r in tomb.collect()
-            )
+            self._tombstones = tomb
             self.docstore = self.docstore.join(tomb, "doc_id", "left_anti")
             self.postings = self.postings.join(tomb, "doc_id", "left_anti")
         text_cols = set(self.schema.text_field_names) & set(self.docstore.columns)
@@ -628,7 +626,7 @@ class Searcher:
             postings=self.postings,
             counters=self.last_wand_counters,
             theta_cache=self._theta_cache,
-            exclude_ids=self._exclude_ids or None,
+            exclude=self._tombstones,
         )
 
     # -- core -----------------------------------------------------------

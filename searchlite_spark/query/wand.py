@@ -63,7 +63,7 @@ def wand_topk(
     postings: DataFrame | None = None,
     counters: dict | None = None,
     theta_cache: dict | None = None,
-    exclude_ids=None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """key_meta: {key: {"weight", "df", "max_tf", "field"}}.
     Returns (doc_id, score) — exact top-k of Σ_t weight_t * bm25_t.
@@ -74,7 +74,13 @@ def wand_topk(
     counters: optional dict of Spark accumulators
     {"blocks_candidate", "blocks_decoded", "docs_scored"} — the pruning
     observability surface (mirrors the reference's profile counters,
-    wand.rs:45-50); incremented inside the kernel when provided."""
+    wand.rs:45-50); incremented inside the kernel when provided.
+    exclude: optional DataFrame of tombstoned ``doc_id`` — routed to the
+    kernel as the second side of a bucket-cogrouped applyInPandas, so
+    deleted docs are masked after block decode WITHOUT ever
+    materializing the tombstone set on the driver (each kernel task
+    sees only its own bucket's tombstones; blocks are immutable packed
+    payloads the row-level anti-join cannot reach inside)."""
     keys = sorted(key_meta)
     if not keys:
         return spark.createDataFrame([], KERNEL_SCHEMA)
@@ -140,13 +146,47 @@ def wand_topk(
     for key in meta:
         meta[key]["idf"] = float(idf[key])
 
-    kernel = _make_kernel(
-        meta, theta, k, mode, bucket_width, k1, b, counters,
-        exclude_ids=exclude_ids,
-    )
-    local = bucketed.groupBy("bucket").applyInPandas(
-        kernel, "bucket LONG, doc_id LONG, score DOUBLE"
-    )
+    kernel = _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters)
+    out_schema = "bucket LONG, doc_id LONG, score DOUBLE"
+    if exclude is not None:
+        # tombstones flow to the kernel as cogrouped per-bucket rows —
+        # a distributed shuffle on the same bucket key, never a
+        # driver-side list (at 100x tombstone volume a closure list is
+        # a driver-memory + task-serialization tax on every query)
+        ex_bucketed = exclude.select(
+            (F.col("doc_id") / w).cast("long").alias("bucket"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+
+        def cokernel(left, right):
+            import numpy as np
+            import pandas as pd
+
+            if len(left) == 0:
+                # tombstone-only bucket: no blocks, nothing to score
+                return pd.DataFrame(
+                    {"bucket": [], "doc_id": [], "score": []}
+                ).astype(
+                    {"bucket": "int64", "doc_id": "int64", "score": "float64"}
+                )
+            ex = (
+                right["doc_id"].to_numpy(dtype=np.int64)
+                if len(right)
+                else None
+            )
+            return kernel(left, ex)
+
+        local = (
+            bucketed.groupBy("bucket")
+            .cogroup(ex_bucketed.groupBy("bucket"))
+            .applyInPandas(cokernel, out_schema)
+        )
+    else:
+        # single-arg wrapper: applyInPandas inspects arity and would
+        # treat the 2-arg kernel(pdf, exclude=None) as (key, pdf)
+        local = bucketed.groupBy("bucket").applyInPandas(
+            lambda pdf: kernel(pdf), out_schema
+        )
     return (
         local.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
@@ -189,21 +229,13 @@ def _seed_threshold_distributed(
     return float(rows[-1]["s"])
 
 
-def _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters=None,
-                 exclude_ids=None):
-    """exclude_ids: tombstoned doc ids (sorted list/array) — masked out
-    after decode, before scoring, so deleted docs never occupy top-k
-    slots (blocks are immutable packed payloads; the row-level
-    anti-join that cleans the flat postings cannot reach inside)."""
-    import numpy as _np
+def _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters=None):
+    """Returns kernel(pdf, exclude=None): exclude is this bucket's
+    tombstoned doc ids (numpy int64, supplied per-task by the cogroup
+    in wand_topk) — masked out after decode, before scoring, so deleted
+    docs never occupy top-k slots."""
 
-    exclude = (
-        _np.asarray(sorted(exclude_ids), dtype=_np.int64)
-        if exclude_ids is not None and len(exclude_ids)
-        else None
-    )
-
-    def kernel(pdf):
+    def kernel(pdf, exclude=None):
         import numpy as np
         import pandas as pd
 

@@ -349,3 +349,60 @@ def test_repair_recovers_torn_append(spark, tmp_path_factory, schemas):
     assert fixed.stats == fresh.stats
     sr, sf = Searcher(fixed), Searcher(fresh)
     assert _search_all(sr, QUERIES) == _search_all(sf, QUERIES)
+
+
+def test_tombstone_scale_no_driver_materialization(spark, tmp_path_factory, schemas):
+    """500k tombstones must never reach the driver on the query path:
+    Searcher.__init__ does zero collect/toPandas (the set stays a
+    parquet-backed DataFrame, broadcast-anti-joined for flat postings
+    and bucket-cogrouped into the WAND/BMW kernel), and the kernel
+    paths still return brute-identical tombstone-free results.
+
+    The oversized set is written to the tombstone table directly (the
+    public tombstone_delete write path caps at MAX_TOMBSTONES by
+    design; the reader must stay scale-safe regardless of how the
+    table got big)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from searchlite_spark.index import build_index
+    from searchlite_spark.index.catalog import Index
+
+    path = str(tmp_path_factory.mktemp("tomb_scale"))
+    build_index(
+        spark, _corpus(spark, ROWS_A + ROWS_B), schemas, path,
+        num_partitions=2, id_mode="column", block_size=4,
+    )
+    # 500k tombstones: two real ids + 499,998 ids not in the index
+    spark.range(499_998).select(
+        (F.col("id") + 1_000_000).alias("doc_id")
+    ).unionByName(
+        spark.createDataFrame([(0,), (2,)], "doc_id LONG")
+    ).write.mode("overwrite").parquet(f"{path}/tombstones")
+
+    calls = {"n": 0}
+    orig_collect, orig_topandas = DataFrame.collect, DataFrame.toPandas
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    def counting_topandas(self):
+        calls["n"] += 1
+        return orig_topandas(self)
+
+    DataFrame.collect, DataFrame.toPandas = counting_collect, counting_topandas
+    try:
+        s = Searcher(Index(path, spark))
+    finally:
+        DataFrame.collect, DataFrame.toPandas = orig_collect, orig_topandas
+    assert calls["n"] == 0, "Searcher.__init__ materialized a DataFrame"
+    assert s._tombstones is not None and isinstance(s._tombstones, DataFrame)
+
+    brute = [(r["doc_id"], round(r["score"], 6)) for r in
+             s.topk({"query": "rust", "limit": 5, "execution": "bm25"}).collect()]
+    assert brute and all(d not in (0, 2) for d, _ in brute)
+    for ex in ("wand", "bmw"):
+        kern = [(r["doc_id"], round(r["score"], 6)) for r in
+                s.topk({"query": "rust", "limit": 5, "execution": ex}).collect()]
+        assert kern == brute, ex
+        assert s.last_execution == ex
