@@ -20,9 +20,32 @@ Tie-break parity: score desc, doc_id asc (wand.rs:16-43,905-926).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from searchlite_spark.index.catalog import Index
+
+_LOG = logging.getLogger(__name__)
+
+# the failure shapes of Observation.get when AQE's empty-relation
+# propagation elided the CollectMetrics node: a Py4J error from
+# getRow/toPyRow (observed: java.lang.AssertionError inside toPyRow),
+# PySpark's no-observe assertion, or KeyError for a metrics row
+# without the expected column.  Anything else propagates.
+_ObservationUnavailable: tuple = (KeyError,)
+try:  # pragma: no cover - import shapes differ across pyspark builds
+    from py4j.protocol import Py4JError as _Py4JError
+
+    _ObservationUnavailable += (_Py4JError,)
+except ImportError:  # pragma: no cover
+    pass
+try:  # pragma: no cover
+    from pyspark.errors import PySparkAssertionError as _PySparkAssertionError
+
+    _ObservationUnavailable += (_PySparkAssertionError,)
+except ImportError:  # pragma: no cover
+    pass
 from searchlite_spark.query import plan as P
 from searchlite_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
 from searchlite_spark.query.expand import DictionaryExpander, expand_groups
@@ -227,7 +250,17 @@ class Searcher:
             # search_after may have rebound to a narrower frame).
             try:
                 total = int(obs.get["n"])
-            except Exception:
+            except _ObservationUnavailable as exc:
+                # only the metrics-retrieval failures reach here: the
+                # top-k action itself already succeeded at .collect()
+                # above, so a Py4J error on obs.get is the elided
+                # CollectMetrics, not a job failure.  Anything else
+                # (TypeError, a planner bug) propagates.
+                _LOG.warning(
+                    "observe() metrics unavailable (%s: %s); falling "
+                    "back to a full match-set count job",
+                    type(exc).__name__, exc,
+                )
                 total = full_match_set.count()
             resp["total_hits_estimate"] = total
         ids = [r["doc_id"] for r in top_rows]
