@@ -28,12 +28,22 @@ float32 avgdl are recomputed over old+new, so scores are identical to
 re-indexing the concatenated corpus (the pytest contract).  Appends
 bump the manifest ``build_id``, so open cursors correctly go stale.
 
-Not crash-atomic: a failed append can leave orphan postings files
-(exactly like a torn Iceberg commit without a metadata swap); re-run
-``compact`` to rewrite clean.  The manifest is written LAST, so a
-reader that re-opens mid-append sees the old stats with some unreadable
-extra rows only after the manifest lands — acceptable for a batch lake
-engine, documented here.
+Crash semantics (the manifest is the commit point, written LAST in one
+atomic rename):
+
+* the term dictionary is VERSIONED through the manifest
+  (``terms_v<uuid>`` + ``terms_dir`` pointer committed together), so a
+  reader can never observe a missing or half-merged dictionary;
+* id assignment and the column-mode id guard use the manifest's
+  committed ``stats.max_doc_id`` high-water mark, NOT a docstore scan
+  — a torn append's rows (files written, manifest not) cannot shift a
+  replayed batch's ids, so a replay rewrites the SAME ids instead of
+  minting silent same-content-new-id duplicates;
+* ``maintenance.repair()`` drops every row above the committed
+  high-water mark (plus orphan postings and, as a belt-and-braces net,
+  byte-identical duplicate-id rows), restoring exactly the committed
+  state — run it before re-appending after a mid-append crash, the
+  same torn-commit discipline as any file-append lake writer.
 """
 
 from __future__ import annotations
@@ -80,8 +90,16 @@ def append_documents(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    old_max = index.docs().agg(F.max("doc_id").alias("m")).first()["m"]
-    old_max = -1 if old_max is None else int(old_max)
+    # committed high-water mark from the MANIFEST (not a docstore scan):
+    # correct under torn appends (uncommitted rows in the files must not
+    # shift replayed id assignment) and free at any corpus size.  Legacy
+    # manifests without the field fall back to the scan once; the append
+    # then records it.
+    old_max = manifest.get("stats", {}).get("max_doc_id")
+    if old_max is None:
+        old_max = index.docs().agg(F.max("doc_id").alias("m")).first()["m"]
+        old_max = -1 if old_max is None else int(old_max)
+    old_max = int(old_max)
 
     if id_mode == "column":
         docs = corpus
@@ -97,6 +115,7 @@ def append_documents(
             F.count_distinct("doc_id").alias("nd"),
             F.sum(F.col("doc_id").isNull().cast("long")).alias("nulls"),
             F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
         ).first()
         if int(chk["nulls"] or 0) > 0:
             raise ValueError(
@@ -114,10 +133,12 @@ def append_documents(
                 "duplicate doc_ids"
             )
         n_new = int(chk["n"])
+        new_max = int(chk["mx"]) if chk["mx"] is not None else old_max
     else:
         docs = assign_doc_ids(corpus, schema.doc_id_field, num_partitions)
         docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(old_max + 1))
         n_new = docs.count()
+        new_max = old_max + n_new  # dense assignment
     if n_new == 0:
         return Index(path=path, spark=spark)
 
@@ -164,11 +185,13 @@ def append_documents(
             .repartitionByRange(max(num_partitions // 4, 1), "term")
             .sortWithinPartitions("term")
         )
-        tmp_terms = f"{path}/terms__append_tmp"
-        merged.write.mode("overwrite").parquet(tmp_terms)
-        shutil.rmtree(f"{path}/terms")
-        os.rename(tmp_terms, f"{path}/terms")
-        terms_df = spark.read.parquet(f"{path}/terms")
+        # versioned dictionary: the new version becomes visible only
+        # through the manifest pointer committed below — no rmtree
+        # window where an index has no terms table
+        commit_id = uuid.uuid4().hex
+        new_terms_dir = f"terms_v{commit_id}"
+        merged.write.mode("overwrite").parquet(f"{path}/{new_terms_dir}")
+        terms_df = spark.read.parquet(f"{path}/{new_terms_dir}")
 
         # ---- blocks for the batch only ----
         if index.has_blocks():
@@ -186,8 +209,10 @@ def append_documents(
 
     n_docs = int(manifest["stats"]["n_docs"]) + int(n_new)
     manifest["stats"] = compute_stats(terms_df, n_docs, schema.text_field_names)
+    manifest["stats"]["max_doc_id"] = int(new_max)
+    manifest["terms_dir"] = new_terms_dir
     lineage = dict(manifest.get("lineage") or {})
-    lineage["build_id"] = uuid.uuid4().hex
+    lineage["build_id"] = commit_id
     lineage.setdefault("appends", []).append(
         {
             "n_docs": int(n_new),
@@ -199,6 +224,18 @@ def append_documents(
         lineage.update(lineage_extra)
     manifest["lineage"] = lineage
     write_manifest(path, manifest)
+    # GC: the superseded dictionary version (and any version orphaned by
+    # an earlier crash between commit and cleanup).  Post-commit and
+    # best-effort — a crash here only leaves an unreferenced dir that
+    # the next append removes.  In-process readers holding the OLD
+    # snapshot should re-open (same contract as the previous
+    # rmtree+rename swap, minus its missing-table window).
+    for name in os.listdir(path):
+        stale = (
+            name == "terms" and new_terms_dir != "terms"
+        ) or (name.startswith("terms_v") and name != new_terms_dir)
+        if stale:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return Index(path=path, spark=spark)
 
 

@@ -663,6 +663,14 @@ def build_index(
     # second scan of the full postings table (fuses a serial barrier
     # out of the build's critical path).
     stats = compute_stats(terms_df, n_docs, text_names)
+    # committed id high-water mark: appends assign/validate new ids
+    # against THIS (manifest-sourced, atomically committed) value, so a
+    # torn append's rows — present in the files but never committed —
+    # can neither shift replayed id assignment nor pass the column-mode
+    # guard silently; repair() drops rows above it (one tiny agg on the
+    # in-memory docs frame)
+    mx = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    stats["max_doc_id"] = int(mx) if mx is not None else -1
     _mark("totals")
 
     if build_blocks:

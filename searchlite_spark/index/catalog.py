@@ -61,7 +61,15 @@ class Index:
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
 
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "terms"))
+        # the term dictionary is the one table appends must REWRITE
+        # (per-term totals merge), so it is versioned through the
+        # manifest: append_documents writes terms_v<uuid> and commits
+        # the pointer in the same atomic manifest write — readers can
+        # never observe a half-swapped dictionary (old layout: plain
+        # "terms", rmtree+rename, with a visible missing-table window)
+        return self.spark.read.parquet(
+            os.path.join(self.path, self.manifest.get("terms_dir", "terms"))
+        )
 
     def blocks(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "blocks"))

@@ -119,20 +119,29 @@ def repair(
     num_partitions: int | None = None,
 ) -> Index:
     """Recover from a torn append (append.py crash-window note: a
-    failed append can leave postings files whose docs never landed).
+    failed append can leave postings/docstore rows whose manifest never
+    committed).
 
-    The append writes postings -> docstore -> terms -> blocks ->
-    manifest, and every later window is self-healing under a plain
-    rewrite (terms/stats/blocks are recomputed from postings+docs).
-    The one poisonous window is *postings committed, docstore not*:
-    orphan posting rows for doc ids with no stored document.  repair =
-    compact that additionally drops postings whose doc_id is absent
-    from the docstore (one hash semi-join), then recomputes everything
-    — the output equals a fresh build over the documents that fully
+    Three cleanups on top of compact's rewrite:
+
+    1. rows ABOVE the manifest's committed ``stats.max_doc_id``
+       high-water mark are dropped from postings and docs — appends
+       assign monotonically increasing ids and commit the mark in the
+       manifest LAST, so anything above it is by definition an
+       uncommitted torn batch;
+    2. orphan postings whose doc never landed (legacy/partial windows
+       the high-water mark can't see, e.g. manifests predating the
+       mark) are dropped via a broadcast anti-join;
+    3. byte-identical duplicate-id rows (a torn ASSIGN-mode batch that
+       was re-appended without repairing first rewrites the same ids)
+       are deduplicated — detected first with one slim aggregate so the
+       common clean case never pays the dropDuplicates shuffle.
+
+    The output equals a fresh build over the documents that fully
     committed."""
     return _rewrite(
         spark, index_path, out_path, [], num_partitions,
-        drop_orphan_postings=True,
+        drop_orphan_postings=True, drop_uncommitted=True,
     )
 
 
@@ -143,6 +152,7 @@ def _rewrite(
     doc_ids: list[int],
     num_partitions: int | None,
     drop_orphan_postings: bool = False,
+    drop_uncommitted: bool = False,
 ) -> Index:
     t0 = time.time()
     src = Index(index_path, spark)
@@ -152,6 +162,22 @@ def _rewrite(
 
     postings = src.postings()
     docs = src.docs()
+    if drop_uncommitted:
+        committed_max = manifest.get("stats", {}).get("max_doc_id")
+        if committed_max is not None:
+            # torn-batch rows sit above the committed high-water mark —
+            # a per-file filter, no shuffle
+            postings = postings.where(F.col("doc_id") <= int(committed_max))
+            docs = docs.where(F.col("doc_id") <= int(committed_max))
+        dup = (
+            docs.groupBy("doc_id").count().where(F.col("count") > 1).limit(1)
+        ).count()
+        if dup:
+            # same-id duplicates are byte-identical replays (append.py
+            # crash note), so FULL-ROW dedup removes exactly the replay
+            # copies; the shuffle runs only when detected
+            docs = docs.dropDuplicates()
+            postings = postings.dropDuplicates()
     dead = spark.createDataFrame(
         [(int(i),) for i in doc_ids] or [], "doc_id LONG"
     )
@@ -199,11 +225,15 @@ def _rewrite(
     )
     terms_df = spark.read.parquet(f"{out_path}/terms")
 
-    n_docs = new_docs.count()
+    agg = new_docs.agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx")
+    ).first()
+    n_docs = int(agg["n"])
     text_names = [t["name"] for t in manifest["schema"]["text_fields"]]
     from searchlite_spark.index.build import compute_stats
 
     stats = compute_stats(terms_df, n_docs, text_names)
+    stats["max_doc_id"] = int(agg["mx"]) if agg["mx"] is not None else -1
 
     if src.has_blocks():
         from searchlite_spark.index.blocks import build_block_postings
@@ -219,6 +249,9 @@ def _rewrite(
     import uuid as _uuid
 
     manifest["stats"] = stats
+    # the rewrite wrote a fresh dictionary at <out>/terms; don't carry a
+    # stale terms_v* pointer from the source manifest
+    manifest["terms_dir"] = "terms"
     manifest.setdefault("lineage", {})
     lineage = dict(
         manifest["lineage"],

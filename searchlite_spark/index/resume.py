@@ -213,7 +213,11 @@ def finalize_index(
 
     import numpy as np
 
-    n_docs = docs.count()
+    agg = docs.agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx")
+    ).first()
+    n_docs = int(agg["n"])
+    max_doc_id = int(agg["mx"]) if agg["mx"] is not None else -1
     totals_rows = (
         postings.where(F.col("field").isin(text_names))
         .groupBy("field")
@@ -238,6 +242,7 @@ def finalize_index(
             "total_tokens": {
                 f: int(totals.get(f"total_{f}") or 0) for f in text_names
             },
+            "max_doc_id": max_doc_id,
         },
         "block_size": block_size,
         "metrics": {

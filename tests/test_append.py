@@ -406,3 +406,65 @@ def test_tombstone_scale_no_driver_materialization(spark, tmp_path_factory, sche
                 s.topk({"query": "rust", "limit": 5, "execution": ex}).collect()]
         assert kern == brute, ex
         assert s.last_execution == ex
+
+
+def test_assign_replay_after_torn_append_is_repairable(
+    spark, tmp_path_factory, schemas
+):
+    """Round-4 advisory window: an ASSIGN-mode append crashes after its
+    file writes but before the manifest commit, and the batch replays.
+    Because id assignment derives from the manifest's committed
+    max_doc_id (not the torn files), the replay rewrites the SAME ids —
+    no silent fresh-id duplicates — the torn state is loud
+    (TornAppendError at stream start), and repair() restores exactly
+    the clean single-append index."""
+    import shutil
+
+    import pytest as _pytest
+
+    from searchlite_spark.index import build_index
+    from searchlite_spark.index.append import append_documents
+    from searchlite_spark.index.catalog import Index
+    from searchlite_spark.index.maintenance import repair
+    from searchlite_spark.streaming import TornAppendError, check_no_torn_append
+
+    path = str(tmp_path_factory.mktemp("torn_assign"))
+    idx = build_index(spark, _corpus(spark, ROWS_A), schemas, path,
+                      num_partitions=2, id_mode="column", block_size=4)
+    # snapshot the committed state (manifest + terms dir) to tear back to
+    save = str(tmp_path_factory.mktemp("torn_assign_save"))
+    shutil.copy(f"{path}/manifest.json", f"{save}/manifest.json")
+    shutil.copytree(f"{path}/terms", f"{save}/terms")
+
+    batch = _corpus(spark, ROWS_B)
+    append_documents(spark, idx, batch, num_partitions=2, id_mode="assign")
+    clean = Index(path, spark)
+    clean_stats = dict(clean.stats)
+    s_clean = _search_all(Searcher(clean), QUERIES)
+
+    # ---- tear: files of the append stay, manifest+terms roll back ----
+    shutil.copy(f"{save}/manifest.json", f"{path}/manifest.json")
+    shutil.rmtree(f"{path}/terms", ignore_errors=True)
+    shutil.copytree(f"{save}/terms", f"{path}/terms")
+
+    with _pytest.raises(TornAppendError):
+        check_no_torn_append(spark, path)
+
+    # ---- replay without repairing first: SAME ids, duplicate rows ----
+    append_documents(
+        spark, Index(path, spark), batch, num_partitions=2, id_mode="assign"
+    )
+    dirty = Index(path, spark)
+    assert dirty.docs().count() == len(ROWS_A) + 2 * len(ROWS_B)
+    dup_ids = (
+        dirty.docs().groupBy("doc_id").count().where("count > 1").count()
+    )
+    assert dup_ids == len(ROWS_B)  # replays share ids: detectable
+
+    # ---- repair dedupes the byte-identical replays ----
+    out = str(tmp_path_factory.mktemp("torn_assign_repaired"))
+    fixed = repair(spark, path, out)
+    assert fixed.docs().count() == len(ROWS_A) + len(ROWS_B)
+    assert {k: v for k, v in fixed.stats.items()} == clean_stats
+    assert _search_all(Searcher(fixed), QUERIES) == s_clean
+    check_no_torn_append(spark, out)  # clean
