@@ -1997,10 +1997,17 @@ SELECT doc_id,
     + 0.3 * (1.0 - least((len(list_filter(toks, x -> x IN ({sw})))::DOUBLE / len(toks)) * 2.0, 1.0))
   ) * 10000.0) / 10000.0 AS quality
 FROM t ORDER BY doc_id"""
+    # independent restatement of the language profiles (NOT imported
+    # from textops.quality, so the oracle can catch a wrong or edited
+    # profile list in the implementation)
+    _oracle_profiles = {
+        "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+        "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+        "es": ["el", "la", "que", "de", "los", "es", "un", "una", "por", "con"],
+    }
     prof_sql = []
-    from searchlite_spark.textops.quality import LANG_PROFILES
-
-    for lang, words in LANG_PROFILES.items():
+    for lang, words in _oracle_profiles.items():
         lst = ", ".join(f"'{w}'" for w in words)
         prof_sql.append(
             f"len(list_filter(toks, x -> x IN ({lst}))) AS {lang}_hits"
