@@ -1178,6 +1178,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _SEARCHERS[key] = Searcher(Index(out, spark))
         return _topk(_SEARCHERS[key], {"query": "filter scan"})
 
+    def index_stats(spark, sf_dir):
+        """Inspect/stats surface (SURVEY §2.1; reference
+        api/reader.rs stats + index/manifest.rs): manifest-level
+        global stats cross-checked against a distributed aggregation
+        of the term dictionary.  The oracle recomputes every number
+        from the raw corpus in DuckDB, so a wrong df/cf/avgdl in the
+        build would surface here even if every query oracle happened
+        to pass."""
+        s = _searcher(spark, sf_dir)
+        st = s.index.stats
+        text_terms = s.index.terms().where(F.col("field") == "text")
+        return (
+            text_terms.agg(
+                F.count("*").cast("long").alias("n_terms"),
+                F.sum("cf").cast("long").alias("total_tokens"),
+                F.max("df").cast("long").alias("max_df"),
+            )
+            .withColumn("n_docs", F.lit(int(st["n_docs"])).cast("long"))
+            .withColumn(
+                "avgdl_r", F.round(F.lit(float(st["avgdl"]["text"])), 2)
+            )
+            .select("n_docs", "n_terms", "total_tokens", "max_df", "avgdl_r")
+        )
+
     def tombstone_bm25(spark, sf_dir):
         """In-place tombstone delete (writer.rs tombstones, applied at
         merge): hits exclude the deleted ids immediately while BM25
@@ -1301,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         append_bm25=append_bm25,
         tombstone_bm25=tombstone_bm25,
         stream_append_bm25=stream_append_bm25,
+        index_stats=index_stats,
     )
 
     Q.update(
@@ -1329,6 +1354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-checkable minhash/simhash/LSH rows) all stay in-window.
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
+        "match_sorted",          # green r04; search_after_sorted (same sort
+                                 # plan + keyset path) stays in-window — makes
+                                 # room for the NEW index_stats row
         "dis_max_tie",           # multi_match_best (dis_max combiner) in-window
         "regex_match",           # wildcard_match in-window, same expansion path
         "bm25_bool_must",        # bool_should_msm in-window, same bool matcher
@@ -1905,6 +1933,27 @@ FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
         " WHERE doc_id >= 10"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
+
+    # index_stats: every manifest/term-dictionary number recomputed
+    # from the raw corpus (same split idiom as the BM25 oracles;
+    # avgdl in float32 like the engine)
+    O["index_stats"] = """
+WITH tok AS (
+  SELECT d.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY d.doc_id, t.tok
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(DISTINCT tok)::BIGINT AS n_terms,
+       sum(tf)::BIGINT AS total_tokens,
+       (SELECT max(df)
+        FROM (SELECT count(*)::BIGINT AS df FROM tok GROUP BY tok))::BIGINT
+         AS max_df,
+       round(CAST(CAST(sum(tf) AS FLOAT)
+                  / CAST((SELECT count(*) FROM documents) AS FLOAT)
+             AS DOUBLE), 2) AS avgdl_r
+FROM tok"""
 
     O["search_after_sorted"] = """
 SELECT doc_id, n_chars FROM documents
