@@ -1314,6 +1314,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).agg(F.count("*").alias("n_found"))
         return n_planted.crossJoin(n_found)
 
+    def cosine_near_dups(spark, sf_dir):
+        """Embedding-cosine near-dup retrieval with planted exact
+        copies (vec_id+1000000): identical vectors share every
+        hyperplane signature deterministically, so every planted pair
+        is found with certainty — (n_planted, n_found) are equal,
+        hash-independent, and DuckDB-recomputable as the count of
+        vectors with a nonzero component."""
+        from searchlite_spark.textops import cosine_near_pairs
+        from searchlite_spark.textops.similarity import _norm
+
+        emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+        doubled = emb.unionByName(
+            emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        )
+        pairs = cosine_near_pairs(
+            doubled, threshold=0.99, dim=64, max_bucket_size=None
+        )
+        n_planted = emb.where(_norm(F.col("embedding")) > 0).agg(
+            F.count("*").alias("n_planted")
+        )
+        n_found = pairs.where(
+            F.col("id_b") == F.col("id_a") + 1000000
+        ).agg(F.count("*").alias("n_found"))
+        return n_planted.crossJoin(n_found)
+
     Q.update(
         search_after_sorted=search_after_sorted,
         cursor_page2=cursor_page2,
@@ -1340,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_near_dups=minhash_near_dups,
         simhash=simhash_q,
         lsh_ann_topk=lsh_ann_q,
+        cosine_near_dups=cosine_near_dups,
     )
     # The driver checks the FIRST 50 entries in insertion order.  The
     # window ROTATES round-robin: everything deferred in round 4 (green
@@ -1357,6 +1383,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_sorted",          # green r04; search_after_sorted (same sort
                                  # plan + keyset path) stays in-window — makes
                                  # room for the NEW index_stats row
+        "hybrid_search",         # green r04; BOTH legs stay in-window
+                                 # (bm25_topk + ann_cosine_topk), and the
+                                 # similarity.py change this round (new
+                                 # cosine_near_pairs) has its own new
+                                 # in-window row cosine_near_dups
         "dis_max_tie",           # multi_match_best (dis_max combiner) in-window
         "regex_match",           # wildcard_match in-window, same expansion path
         "bm25_bool_must",        # bool_should_msm in-window, same bool matcher
@@ -2007,6 +2038,13 @@ ORDER BY h DESC, doc_id ASC LIMIT 10"""
     O["simhash_near_dups"] = """
 SELECT count(*)::BIGINT AS n_planted, count(*)::BIGINT AS n_found
 FROM documents WHERE text IS NOT NULL AND trim(text) <> ''"""
+
+    # cosine_near_dups: planted exact vector copies are found with
+    # certainty (identical vectors => identical signatures in every
+    # hash table), so both counts = vectors with a nonzero component
+    O["cosine_near_dups"] = """
+SELECT count(*)::BIGINT AS n_planted, count(*)::BIGINT AS n_found
+FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0.0)) > 0"""
 
     # ---- pipeline ops ----
     O["dedup_exact_survivors"] = """

@@ -7,6 +7,7 @@ from searchlite_spark.textops.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
 )
 from searchlite_spark.textops.similarity import (  # noqa: F401
+    cosine_near_pairs,
     cosine_topk,
     hybrid_topk,
     lsh_ann_topk,

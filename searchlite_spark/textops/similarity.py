@@ -300,3 +300,82 @@ def lsh_ann_topk(
     # partition pruning, not a scan); dedup ids matched by >1 table
     cand = sig.where(cond).select(*df.columns).dropDuplicates([id_col])
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    planes: int = 8,
+    tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = 1000,
+    warn_on_drop: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a < id_b, cosine)``:
+    the vector-space member of the dedup family (exact / minhash /
+    simhash / n-gram-jaccard live in textops.dedup).
+
+    Candidate generation is the same multi-table hyperplane LSH used by
+    ``lsh_ann_topk``: a pair collides in one table of b sign bits with
+    probability p^b (p = 1 - angle/pi) and in >=1 of L tables with
+    1-(1-p^b)^L, so recall is tunable with `tables`; EXACT duplicates
+    (identical vectors) share every signature deterministically and are
+    found with certainty.  Verification is exact double-precision
+    cosine, so precision is exact: no pair below `threshold` survives.
+
+    Scale shape mirrors minhash_lsh_pairs: one pass computes all table
+    signatures, the self-join is per (tbl, bucket) with the same
+    oversized-bucket cap (default 1000; a bucket of m rows is an m²
+    join — zero-vector/boilerplate-embedding clusters must never launch
+    one), dropped groups warn via the shared funnel.  Zero-norm vectors
+    are excluded (cosine undefined).
+    """
+    from searchlite_spark.textops.dedup import _cap_buckets
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a LONG, id_b LONG, cosine DOUBLE"
+            )
+        dim = len(first[0])
+    vecs = df.select(F.col(id_col), F.col(vec_col)).where(
+        _norm(F.col(vec_col)) > 0
+    )
+    sig = lsh_bucket_table(vecs, dim, planes, tables, vec_col).select(
+        id_col, "tbl", "bucket"
+    )
+    if max_bucket_size is not None:
+        sig = _cap_buckets(
+            sig, ["tbl", "bucket"], max_bucket_size,
+            "cosine_near_pairs", warn_on_drop,
+        )
+    left = sig.alias("l")
+    right = sig.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
