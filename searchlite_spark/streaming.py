@@ -133,3 +133,161 @@ def stream_append(
     else:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming analytics: watermarked windowed aggregation + stateful
+# sessionization.  The reference is a batch engine; these cover the
+# "streams side" of a web-scale ingest pipeline: the same events table
+# the batch aggregations query, consumed as a stream with late-data
+# semantics declared ONCE (watermark) instead of hand-rolled reconcile
+# jobs.
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, with ``slide``) window
+    aggregation over an event stream: count + optional value sum per
+    (window, *keys).
+
+    Scale shape: state is ONE row per open (window, key) group —
+    bounded by the watermark horizon, not the stream length — and the
+    watermark lets Spark evict finalized windows and DROP late rows
+    beyond ``watermark`` instead of buffering forever.  This is the
+    streaming twin of the batch ``date_histogram``/``terms``
+    aggregations in query/aggs.py; output columns are named so a batch
+    DuckDB query over the same parquet can replay the same numbers.
+    """
+    w = F.window(F.col(ts_col), window, slide or window)
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+
+
+def sessionize(
+    stream_df: DataFrame,
+    gap_s: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Event-time sessionization via ``applyInPandasWithState``: a
+    session is a maximal run of one user's events with no gap larger
+    than ``gap_s`` seconds; a CLOSED session row
+    ``(user_id, session_start, session_end, n_events)`` is emitted when
+    the event-time watermark passes ``last_event + gap``.
+
+    This is the custom-stateful-operator pattern the built-in windowed
+    aggregation can't express (variable-length windows keyed on
+    inter-event gaps).  Per-group state is three scalars (start, end,
+    count) — bounded regardless of session length; the state store
+    holds one row per OPEN session, evicted on timeout.  The watermark
+    (delay = ``gap_s``) is declared here — feed the raw stream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_ms = gap_s * 1000
+
+    def _fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (uid,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for pdf in pdfs:
+            ts_ms = (
+                pdf[ts_col].astype("int64") // 1_000_000
+            ).sort_values()
+            for t in ts_ms:
+                t = int(t)
+                if start_ms is None:
+                    start_ms, end_ms, n = t, t, 1
+                elif t - end_ms <= gap_ms:
+                    end_ms = max(end_ms, t)
+                    n += 1
+                else:
+                    # gap inside the batch: close the old session now
+                    closed.append((start_ms, end_ms, n))
+                    start_ms, end_ms, n = t, t, 1
+        state.update((start_ms, end_ms, n))
+        # close when the watermark passes end + gap; timeout timestamps
+        # must sit above the current watermark
+        state.setTimeoutTimestamp(
+            max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="ms") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="ms") for _, e, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        stream_df.withWatermark(ts_col, f"{gap_s} seconds")
+        .groupBy(F.col(user_col).cast("long").alias("user_id"))
+        .applyInPandasWithState(
+            _fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
