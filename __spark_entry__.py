@@ -1178,6 +1178,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _SEARCHERS[key] = Searcher(Index(out, spark))
         return _topk(_SEARCHERS[key], {"query": "filter scan"})
 
+    def stream_windowed_counts(spark, sf_dir):
+        """Streaming analytics (streaming.py::windowed_event_counts):
+        watermarked tumbling-window count+sum driven through a REAL
+        Structured Streaming query (file source -> memory sink,
+        availableNow).  Every row arrives ahead of the initial
+        watermark, so the complete-mode output equals the batch
+        tumbling-window aggregation — exactly what the DuckDB oracle
+        recomputes; the watermark semantics themselves (late rows
+        dropped, closed windows immutable) are pytest-gated in
+        test_streaming_analytics.py where they need multi-batch
+        streams to show up."""
+        from searchlite_spark.streaming import windowed_event_counts
+
+        import shutil
+
+        # the file stream source requires a DIRECTORY — stage the
+        # events parquet under one (hardlink when possible)
+        src = _index_dir(sf_dir) + "_events_src"
+        if not os.path.exists(os.path.join(src, "events.parquet")):
+            os.makedirs(src, exist_ok=True)
+            try:
+                os.link(
+                    f"{sf_dir}/events.parquet",
+                    os.path.join(src, "events.parquet"),
+                )
+            except OSError:
+                shutil.copy(
+                    f"{sf_dir}/events.parquet",
+                    os.path.join(src, "events.parquet"),
+                )
+        ev_schema = spark.read.parquet(src).schema
+        # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP — the
+        # session timezone is pinned to UTC (session.py) so the cast
+        # preserves the stored epoch instant
+        agg = windowed_event_counts(
+            spark.readStream.schema(ev_schema)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp")),
+            ts_col="ts",
+            keys=("event_type",),
+            window="1 day",
+            watermark="1 hour",
+            value_col="value",
+        )
+        sink = "stream_windowed_counts_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("windowed-count stream did not finish in 300s")
+        return (
+            spark.table(sink)
+            .select(
+                (F.unix_micros(F.col("window_start")) / 1000)
+                .cast("long")
+                .alias("window_start_ms"),
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.round("sum_value", 4).alias("sum_value_r"),
+            )
+            .orderBy("window_start_ms", "event_type")
+        )
+
     def index_stats(spark, sf_dir):
         """Inspect/stats surface (SURVEY §2.1; reference
         api/reader.rs stats + index/manifest.rs): manifest-level
@@ -1350,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         append_bm25=append_bm25,
         tombstone_bm25=tombstone_bm25,
         stream_append_bm25=stream_append_bm25,
+        stream_windowed_counts=stream_windowed_counts,
         index_stats=index_stats,
     )
 
@@ -1408,6 +1478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats_nchars",      # agg_extended_stats in-window
         "agg_histogram_nchars",  # events_date_histogram in-window (histogram funnel)
         "agg_range_nchars",      # agg_date_range_events in-window (range buckets)
+        "search_after_sorted",   # green r04; cursor_page2 (same keyset plan,
+                                 # plus the opaque-cursor wire format) stays
+                                 # in-window — makes room for the NEW
+                                 # stream_windowed_counts row
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -1955,6 +2029,17 @@ FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
         + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
+
+    # stream_windowed_counts: Spark's window(ts, '1 day') tumbling
+    # windows align to the unix epoch, so window_start_ms is plain
+    # floor-division on epoch millis
+    O["stream_windowed_counts"] = """
+SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) * 86400000
+         AS window_start_ms,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value_r
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
     # tombstone_bm25: stale-stats contract — score over the FULL corpus
     # (tombstones reconcile stats only at compact), filter results only
