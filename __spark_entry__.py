@@ -1004,6 +1004,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = lsh_ann_topk(emb.unionByName(planted), qvec, k=6, multiprobe=4)
         return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
+    def ivf_ann_q(spark, sf_dir):
+        """IVF cell-probe ANN (the learned-cell sibling of lsh_ann_topk)
+        with planted exact copies of the query vector (ids
+        2000000..2000004).  An identical vector computes identical
+        query->centroid distances (same left-to-right double fold on
+        driver and executors), so every copy lands in the query's FIRST
+        probe cell regardless of where k-means put the centroids — the
+        top-6 is the 6 cosine-1.0 copies with id tie-break,
+        oracle-checked against DuckDB brute-force cosine (second-best
+        native cosine ~0.37, so no centroid-dependent slot exists)."""
+        from searchlite_spark.textops import ivf_ann_topk
+
+        emb = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qvec = [float(x) for x in
+                emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        planted = spark.createDataFrame(
+            [(2000000 + i, qvec) for i in range(5)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        out = ivf_ann_topk(
+            emb.unionByName(planted), qvec, k=6, k_lists=8, nprobe=2, iters=3
+        )
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
     def delete_rebuild_bm25(spark, sf_dir):
         """delete_by_id rewrite: BM25 over the surviving corpus must be
         score-identical to a fresh build (stats recomputed) — the
@@ -1435,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_near_dups=minhash_near_dups,
         simhash=simhash_q,
         lsh_ann_topk=lsh_ann_q,
+        ivf_ann_topk=ivf_ann_q,
         cosine_near_dups=cosine_near_dups,
     )
     # The driver checks the FIRST 50 entries in insertion order.  The
@@ -1482,6 +1509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  # plus the opaque-cursor wire format) stays
                                  # in-window — makes room for the NEW
                                  # stream_windowed_counts row
+        "agg_value_count",       # green r04; agg_cardinality_source (adjacent
+                                 # single-metric agg, untouched code path)
+                                 # stays in-window — makes room for the NEW
+                                 # ivf_ann_topk row
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -2262,6 +2293,27 @@ aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   UNION ALL
   SELECT 1000000 + i AS vec_id, q.qv AS v
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+),
+c AS (
+  SELECT a.vec_id,
+         list_dot_product(a.v, q.qv)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM aug a CROSS JOIN q
+)
+SELECT vec_id, round(cosine, 4) AS cosine_r FROM c
+ORDER BY cosine DESC, vec_id ASC LIMIT 6"""
+
+    # ivf_ann_topk: same construction as lsh_ann_topk with copies at
+    # 2000000+ — IVF's exact-copy guarantee (identical query->centroid
+    # distances => same first probe cell) makes the approximate result
+    # equal the exact brute-force top-6 with certainty
+    O["ivf_ann_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT 2000000 + i AS vec_id, q.qv AS v
   FROM q CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
 ),
 c AS (

@@ -60,6 +60,86 @@ def make_corpus(rng: np.random.Generator) -> np.ndarray:
     return vecs.astype(np.float64)
 
 
+def ivf_main() -> None:
+    """--ivf: recall@10 for the IVF cell-probe path (ivf_train /
+    ivf_assign production kernels; probe order replicates
+    ivf_ann_topk's driver-side sorted-sqdist selection exactly; exact
+    re-rank over candidates, like the LSH rows)."""
+    rng = np.random.default_rng(0)
+    vecs = make_corpus(rng)
+    q_idx = np.arange(0, N, N // N_QUERIES)[:N_QUERIES]
+    sims = vecs[q_idx] @ vecs.T
+    truth = np.argsort(-sims, axis=1)[:, :K]
+
+    from searchlite_spark import get_spark
+    from searchlite_spark.textops.similarity import ivf_assign, ivf_train
+
+    spark = get_spark(
+        "ivf_recall", cores=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    )
+    df = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(N)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    results = []
+    for k_lists in (16, 64):
+        t0 = time.time()
+        # production training on a hash sample (the 10^12-row path),
+        # then ONE full-corpus assignment via the production expression
+        cents = np.array(
+            ivf_train(df, k_lists=k_lists, iters=5, sample_size=20_000)
+        )
+        rows = (
+            ivf_assign(df, cents.tolist())
+            .select("vec_id", "list_id")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        t_train = time.time() - t0
+        lists = rows["list_id"].to_numpy()
+        for nprobe in (1, 4, 8):
+            hits = 0
+            cands_total = 0
+            for qi, q in enumerate(q_idx):
+                # same math as ivf_ann_topk's driver-side probe pick
+                d = ((cents - vecs[q]) ** 2).sum(axis=1)
+                probes = np.argsort(d, kind="stable")[:nprobe]
+                cand = np.nonzero(np.isin(lists, probes))[0]
+                cands_total += len(cand)
+                order = np.argsort(-(vecs[cand] @ vecs[q]))[:K]
+                approx = set(cand[order].tolist())
+                hits += len(approx & set(truth[qi].tolist()))
+            r = {
+                "k_lists": k_lists,
+                "nprobe": nprobe,
+                "recall_at_10": round(hits / (K * len(q_idx)), 3),
+                "avg_candidates": int(cands_total / len(q_idx)),
+                "train_assign_secs": round(t_train, 1),
+            }
+            results.append(r)
+            print(json.dumps(r))
+    spark.stop()
+
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    lines = [
+        f"\n## IVF-ANN recall@10 vs brute force ({stamp})\n",
+        f"\nSame 100k clustered corpus as the LSH table; centroids from "
+        "production `ivf_train` (k-means, hash-sampled 20k training set), "
+        "cells from production `ivf_assign`, probe order identical to "
+        "`ivf_ann_topk`, exact re-rank over candidates.\n",
+        "\n| k_lists | nprobe | recall@10 | avg candidates |\n",
+        "|---|---|---|---|\n",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['k_lists']} | {r['nprobe']} | {r['recall_at_10']} "
+            f"| {r['avg_candidates']} |\n"
+        )
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.writelines(lines)
+    print("appended to BENCH.md")
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
     vecs = make_corpus(rng)
@@ -157,4 +237,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ivf" in sys.argv:
+        ivf_main()
+    else:
+        main()

@@ -10,6 +10,9 @@ from searchlite_spark.textops.similarity import (  # noqa: F401
     cosine_near_pairs,
     cosine_topk,
     hybrid_topk,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_train,
     lsh_ann_topk,
     quantize_embeddings,
     quantize_query,

@@ -1,0 +1,142 @@
+"""IVF (inverted-file) ANN: deterministic k-means training, exact-copy
+retrieval certainty, recall gate on clustered vectors, and the
+sampled-training path.
+
+Complements test_cosine_near_dup.py / the LSH recall suite: IVF is the
+second distributed substitute for the reference's single-node HNSW
+(searchlite-core/src/vectors/hnsw.rs:10-120) — learned cells instead of
+random hyperplanes.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchlite_spark.textops import (
+    cosine_topk,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_train,
+)
+
+DIM = 16
+N_CLUSTERS = 8
+PER_CLUSTER = 40
+
+
+def _clustered_rows():
+    """Unit vectors around unit cluster centers, noise norm ~0.4 —
+    same geometry rationale as scripts/ann_recall_bench.py."""
+    rng = random.Random(7)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    centers = [
+        unit([rng.gauss(0, 1) for _ in range(DIM)]) for _ in range(N_CLUSTERS)
+    ]
+    sigma = 0.4 / math.sqrt(DIM)
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(PER_CLUSTER):
+            v = unit([x + rng.gauss(0, sigma) for x in c])
+            rows.append((ci * PER_CLUSTER + j, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        _clustered_rows(), "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+
+
+def test_train_is_deterministic(spark, vecs):
+    """No RNG anywhere: two runs over differently-partitioned inputs
+    give bit-identical centroids (init = xxhash64 order statistic;
+    per-cell mean sums are shuffle-order-independent only up to FP
+    addition, so the mean is computed from a canonical posexplode
+    aggregate — assert equality to 1e-12 which catches any
+    nondeterministic reduction tree)."""
+    c1 = ivf_train(vecs, k_lists=4, iters=3)
+    c2 = ivf_train(vecs.repartition(13, "vec_id"), k_lists=4, iters=3)
+    assert len(c1) == len(c2) == 4
+    for a, b in zip(c1, c2):
+        for x, y in zip(a, b):
+            assert abs(x - y) < 1e-9
+
+
+def test_assign_covers_all_and_ties_low(spark, vecs):
+    cents = ivf_train(vecs, k_lists=4, iters=2)
+    out = ivf_assign(vecs, cents).select("vec_id", "list_id")
+    rows = out.collect()
+    assert len(rows) == N_CLUSTERS * PER_CLUSTER
+    assert all(0 <= r["list_id"] < 4 for r in rows)
+    # duplicated centroid -> ties MUST break to the lowest index
+    dup = [cents[0], cents[0], cents[1]]
+    tied = ivf_assign(vecs, dup).where(F.col("list_id") == 1).count()
+    assert tied == 0
+
+
+def test_exact_copy_found_with_certainty(spark, vecs):
+    """An exact copy of the query vector computes the identical
+    query->centroid distances (same left-to-right double fold driver-
+    and executor-side), so it is ALWAYS in the first probe cell —
+    the IVF analogue of LSH's same-signature guarantee."""
+    qvec = [float(x) for x in _clustered_rows()[5][1]]
+    planted = spark.createDataFrame(
+        [(9000 + i, qvec) for i in range(3)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = ivf_ann_topk(
+        vecs.unionByName(planted), qvec, k=4, k_lists=8, nprobe=1, iters=2
+    ).collect()
+    got = [r["vec_id"] for r in out]
+    assert set(got) >= {5, 9000, 9001, 9002}
+    for r in out:
+        assert r["cosine"] > 0.9999
+
+
+def test_recall_vs_brute_force(spark, vecs):
+    """Probing half the cells on well-clustered data recovers ≥0.9 of
+    the exact top-10 (mirrors the LSH ≥0.8 gate; cells track the data
+    so the bar is higher)."""
+    rows = _clustered_rows()
+    hits = total = 0
+    cents = ivf_train(vecs, k_lists=8, iters=3)
+    for q_id in (0, 45, 130, 290):
+        qvec = rows[q_id][1]
+        truth = {
+            r["vec_id"]
+            for r in cosine_topk(vecs, qvec, k=10).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in ivf_ann_topk(
+                vecs, qvec, k=10, centroids=cents, nprobe=4
+            ).collect()
+        }
+        hits += len(truth & approx)
+        total += 10
+    assert hits / total >= 0.9, f"recall {hits/total}"
+
+
+def test_sampled_training_matches_shape(spark, vecs):
+    """sample_size trains on a hash-selected subset — centroids still
+    have full dimensionality and assignment still covers the corpus
+    (the 10^12-row path: train small, assign once)."""
+    cents = ivf_train(vecs, k_lists=4, iters=2, sample_size=100)
+    assert len(cents) == 4 and all(len(c) == DIM for c in cents)
+    n = ivf_assign(vecs, cents).where(F.col("list_id").isNotNull()).count()
+    assert n == N_CLUSTERS * PER_CLUSTER
+
+
+def test_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError):
+        ivf_train(empty, k_lists=2, iters=1)
