@@ -12,6 +12,8 @@ from searchlite_spark.textops.similarity import (  # noqa: F401
     hybrid_topk,
     ivf_ann_topk,
     ivf_assign,
+    ivf_index_build,
+    ivf_index_search,
     ivf_train,
     lsh_ann_topk,
     quantize_embeddings,

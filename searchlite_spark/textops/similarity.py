@@ -551,3 +551,67 @@ def ivf_ann_topk(
         *df.columns
     )
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_index_build(
+    df: DataFrame,
+    out_dir: str,
+    k_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    sample_size: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Persist an IVF index: the corpus written ``partitionBy(list_id)``
+    (one directory per cell) plus a ``centroids.json`` sidecar.  This is
+    the 10^12-row layout ivf_ann_topk's docstring promises: train once
+    (optionally on a hash sample), assign once, and every later query
+    reads only its nprobe cell directories — Spark's partition pruning
+    turns the probe into a file-list operation, no scan and no shuffle.
+    Returns the centroids (also saved in the sidecar)."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = ivf_train(df, k_lists, vec_col, id_col, iters, sample_size)
+    (
+        ivf_assign(df, centroids, vec_col, "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(out_dir, "cells"))
+    )
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_index_search(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF index.  Probe cells are chosen
+    driver-side from the sidecar centroids (same double arithmetic as
+    ivf_ann_topk), then ``list_id IN (probes)`` on the cell-partitioned
+    parquet prunes the read to nprobe directories — verify with
+    ``.inputFiles()`` or the PartitionFilters line in ``.explain()``."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = json.load(f)
+    dists = []
+    for i, c in enumerate(centroids):
+        s = 0.0
+        for x, y in zip(query_vec, c):
+            s = s + (float(x) - float(y)) * (float(x) - float(y))
+        dists.append((s, i))
+    probes = [i for _, i in sorted(dists)[: max(1, int(nprobe))]]
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    cand = cells.where(F.col("list_id").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

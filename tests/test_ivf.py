@@ -140,3 +140,46 @@ def test_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with pytest.raises(ValueError):
         ivf_train(empty, k_lists=2, iters=1)
+
+
+def test_persisted_index_prunes_partitions(spark, vecs, tmp_path):
+    """The persisted layout is the actual scale path: nprobe=2 of 8
+    cells means the probe reads files from exactly 2 list_id
+    directories (partition pruning), and results equal the in-memory
+    ivf_ann_topk over the same centroids."""
+    from searchlite_spark.textops import ivf_index_build, ivf_index_search
+
+    idx = str(tmp_path / "ivf_idx")
+    cents = ivf_index_build(vecs, idx, k_lists=8, iters=2)
+    qvec = _clustered_rows()[17][1]
+    out = ivf_index_search(spark, idx, qvec, k=5, nprobe=2)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in out.collect()]
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk(
+            vecs, qvec, k=5, centroids=cents, nprobe=2
+        ).collect()
+    ]
+    assert got == want
+
+    # pruning: the probed scan touches files from exactly 2 cell dirs
+    dists = [
+        (sum((float(x) - float(y)) ** 2 for x, y in zip(qvec, c)), i)
+        for i, c in enumerate(cents)
+    ]
+    probes = {i for _, i in sorted(dists)[:2]}
+    # input_file_name() is stamped at execution time, so it reflects
+    # the files the pruned scan ACTUALLY read (inputFiles() reports the
+    # whole relation pre-pruning and would not show the prune)
+    cells = spark.read.parquet(idx + "/cells")
+    pruned = cells.where(F.col("list_id").isin([int(p) for p in probes]))
+    touched = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched == {str(p) for p in probes}
+    all_dirs = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in cells.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(all_dirs) == 8 and touched < all_dirs
