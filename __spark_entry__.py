@@ -894,6 +894,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b"
         )
 
+    def dedup_components_q(spark, sf_dir):
+        # pairs via the exact (deterministic, SQL-expressible) n-gram
+        # Jaccard generator so the WHOLE chain — pair generation AND the
+        # large-star/small-star transitive closure — is value-hash
+        # checked against a DuckDB recursive CTE.
+        from searchlite_spark.textops import connected_components, ngram_jaccard_pairs
+
+        docs = _docs(spark, sf_dir)
+        pairs = ngram_jaccard_pairs(docs, "source", threshold=0.015)
+        return (
+            connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "component")
+            .orderBy("doc_id")
+        )
+
+    def dedup_near_survivors_q(spark, sf_dir):
+        from searchlite_spark.textops import near_dedup_survivors, ngram_jaccard_pairs
+
+        docs = _docs(spark, sf_dir)
+        pairs = ngram_jaccard_pairs(docs, "source", threshold=0.015)
+        return (
+            near_dedup_survivors(docs.select("doc_id", "text"), pairs)
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    def line_dedup_boilerplate(spark, sf_dir):
+        # the corpus has no newlines, so deterministically re-wrap each
+        # document into 4-token lines first (same re-wrap in the oracle)
+        from searchlite_spark.textops import line_dedup
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr(
+                "array_join(transform("
+                " sequence(0, int(ceil(size(split(text, ' ')) / 4.0)) - 1),"
+                " i -> array_join(slice(split(text, ' '), i * 4 + 1, 4), ' ')"
+                "), '\\n')"
+            ).alias("text"),
+        )
+        return line_dedup(docs, min_docs=2).orderBy("doc_id")
+
     def token_stats_q(spark, sf_dir):
         from searchlite_spark.textops import token_stats
 
@@ -1463,6 +1505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_ann_topk=lsh_ann_q,
         ivf_ann_topk=ivf_ann_q,
         cosine_near_dups=cosine_near_dups,
+        dedup_components=dedup_components_q,
+        dedup_near_survivors=dedup_near_survivors_q,
+        line_dedup_boilerplate=line_dedup_boilerplate,
     )
     # The driver checks the FIRST 50 entries in insertion order.  The
     # window ROTATES round-robin: everything deferred in round 4 (green
@@ -1513,6 +1558,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  # single-metric agg, untouched code path)
                                  # stays in-window — makes room for the NEW
                                  # ivf_ann_topk row
+        "ngram_jaccard",         # green r04; the NEW dedup_components row runs
+                                 # the IDENTICAL pair stage as its input, so
+                                 # the pair path stays externally checked
+        "doc_fingerprint",       # green r04; quality.py untouched this round,
+                                 # langid (oracle reworked this round) +
+                                 # quality_score stay in-window for the module
+        "token_stats",           # green r04; same quality.py reasoning —
+                                 # makes room for the NEW line_dedup row
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -2180,6 +2233,69 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
 ORDER BY id_a, id_b"""
     )
+    # transitive closure of the exact-Jaccard pair graph: DuckDB computes
+    # min-reachable-id per node via a recursive CTE; Spark computes it via
+    # alternating large-star/small-star.  Same pairs, same clusters.
+    _cc_ctes = (
+        _shingle_cte().replace("WITH sh", "WITH RECURSIVE sh", 1)
+        + """
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.015
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.n = e.v
+),
+comp AS (SELECT n, min(r) AS root FROM reach GROUP BY n)
+"""
+    )
+    O["dedup_components"] = (
+        _cc_ctes
+        + "SELECT n::BIGINT AS doc_id, root::BIGINT AS component"
+        " FROM comp ORDER BY doc_id"
+    )
+    O["dedup_near_survivors"] = (
+        _cc_ctes
+        + """
+SELECT doc_id::BIGINT AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT n FROM comp WHERE n <> root)
+ORDER BY doc_id"""
+    )
+    O["line_dedup_boilerplate"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+wrapped AS (
+  SELECT t.doc_id, r.range AS i,
+         array_to_string(toks[(r.range * 4 + 1):(r.range * 4 + 4)], ' ') AS ln
+  FROM t JOIN range(0, 4096) r ON r.range < ceil(len(toks) / 4.0)
+),
+freq AS (
+  SELECT trim(ln) AS k FROM wrapped WHERE trim(ln) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT w.doc_id, w.i, w.ln
+  FROM wrapped w LEFT JOIN freq f ON trim(w.ln) = f.k
+  WHERE f.k IS NULL
+),
+rm AS (
+  SELECT w.doc_id, count(*) AS n
+  FROM wrapped w JOIN freq f ON trim(w.ln) = f.k GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.ln, chr(10) ORDER BY k.i), '') AS text,
+       coalesce(any_value(rm.n), 0)::INT AS lines_removed
+FROM documents d
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+LEFT JOIN rm ON rm.doc_id = d.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id"""
     O["token_stats"] = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,

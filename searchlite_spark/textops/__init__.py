@@ -1,7 +1,10 @@
 from searchlite_spark.textops.dedup import (  # noqa: F401
+    connected_components,
     exact_dedup,
+    line_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
+    near_dedup_survivors,
     simhash,
     simhash_near_pairs,
     ngram_jaccard_pairs,

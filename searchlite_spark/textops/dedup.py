@@ -345,3 +345,164 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step
+    that turns pairwise evidence into dedup clusters.  Alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): converges in O(log n) rounds even on
+    chain-shaped duplicate graphs, where plain min-label propagation
+    needs O(diameter) rounds and would not survive an adversarial
+    boilerplate chain at web scale.  Each round is two hash-shuffle
+    aggregations plus a checksum job; lineage is cut per round with
+    ``localCheckpoint`` so the plan stays flat (at cluster scale point
+    ``spark.checkpoint.dir`` at durable storage and swap ``checkpoint``
+    in if executor loss matters more than the extra I/O).
+
+    Returns ``(node, component)`` for every node that appears in
+    ``pairs``; ``component`` is the smallest node id in the cluster.
+    Isolated documents never enter the pair list and are implicitly
+    their own component — ``near_dedup_survivors`` accounts for them.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if not edges.take(1):
+        return spark.createDataFrame([], "node long, component long")
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iterations):
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        edges = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
+        )
+        # small-star: u and its smaller neighbors all link to the min
+        mins = edges.groupBy("u").agg(F.min("v").alias("_mn"))
+        down = edges.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("_mn").alias("v")
+        )
+        up = mins.select("u", F.col("_mn").alias("v"))
+        edges = (
+            down.union(up)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (expected O(log n) rounds)"
+        )
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return edges.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).union(roots)
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one document per near-duplicate cluster (the smallest id)
+    plus every document that is in no cluster.  One anti-join against
+    the loser set — the loser table is tiny relative to the corpus at
+    any real duplication rate, so AQE turns this into a broadcast join."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Boilerplate-line removal (the C4 / RefinedWeb cleanup step):
+    drop every line whose trimmed form appears in >= ``min_docs``
+    distinct documents, preserving the order of surviving lines.
+
+    Returns ``(id_col, text_col, lines_removed)`` — a document whose
+    every line was boilerplate survives with empty text (filter on
+    ``lines_removed``/length downstream if hollow docs should go).
+
+    Scale shape: one explode (map-side), one hash aggregation on the
+    trimmed line to find frequent lines, one join back (the frequent
+    set is tiny at any real ``min_docs``, so AQE broadcasts it), one
+    aggregation to reassemble.  Per-group state is the document's own
+    lines — bounded by document size, never by corpus size.  Empty
+    lines are never counted as boilerplate and are always kept.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    )
+    key = F.trim(F.col("_line"))
+    freq = (
+        lines.where(key != "")
+        .groupBy(key.alias("_key"))
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_key", F.lit(True).alias("_hit"))
+    )
+    marked = lines.join(freq, key == F.col("_key"), "left")
+    rebuilt = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            line_sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_hit").isNull(), F.struct("_pos", "_line")
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("lines_removed"),
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce(F.col("lines_removed"), F.lit(0)).alias("lines_removed"),
+    )
