@@ -936,6 +936,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return line_dedup(docs, min_docs=2).orderBy("doc_id")
 
+    def repetition_stats_q(spark, sf_dir):
+        # deterministic 2-token re-wrap (narrower than line_dedup's 4 so
+        # ~1/3 of docs actually repeat a line and the line-level
+        # counters vary); the n-gram counters see the same word stream
+        # either way
+        from searchlite_spark.textops import repetition_stats
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr(
+                "array_join(transform("
+                " sequence(0, int(ceil(size(split(text, ' ')) / 2.0)) - 1),"
+                " i -> array_join(slice(split(text, ' '), i * 2 + 1, 2), ' ')"
+                "), '\\n')"
+            ).alias("text"),
+        )
+        return repetition_stats(docs, top_ngram=2, dup_ngram=3).orderBy("doc_id")
+
+    def gopher_quality_q(spark, sf_dir):
+        # thresholds tuned so the corpus actually splits: vocab has only
+        # "the" from the Gopher stop list, and docs run ~15-30 words
+        from searchlite_spark.textops import gopher_quality
+
+        return gopher_quality(
+            _docs(spark, sf_dir), min_words=25, min_stop_hits=1
+        ).withColumn("keep", F.col("keep").cast("int")).orderBy("doc_id")
+
+    def url_dedup_q(spark, sf_dir):
+        """Canonical-URL dedup over a synthesized crawl: each group of 5
+        doc_ids yields 5 messy spellings (case, default port, trailing
+        slash, utm param, fragment) of ONE canonical url; the freshest
+        crawl (max warc_ts = doc_id) must win.  The oracle states the
+        expected canonical analytically — it does not reimplement the
+        normalizer — so Spark-side parsing is genuinely under test."""
+        from searchlite_spark.textops import url_dedup
+
+        pages = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr(
+                "CASE CAST(doc_id % 5 AS INT)"
+                " WHEN 0 THEN concat('http://h', CAST(doc_id DIV 50 AS STRING), '.example.com/page/', CAST(doc_id DIV 5 AS STRING))"
+                " WHEN 1 THEN concat('HTTP://H', CAST(doc_id DIV 50 AS STRING), '.EXAMPLE.COM:80/page/', CAST(doc_id DIV 5 AS STRING))"
+                " WHEN 2 THEN concat('http://h', CAST(doc_id DIV 50 AS STRING), '.example.com/page/', CAST(doc_id DIV 5 AS STRING), '/')"
+                " WHEN 3 THEN concat('http://h', CAST(doc_id DIV 50 AS STRING), '.example.com/page/', CAST(doc_id DIV 5 AS STRING), '?utm_source=feed')"
+                " ELSE concat('http://h', CAST(doc_id DIV 50 AS STRING), '.example.com/page/', CAST(doc_id DIV 5 AS STRING), '#top')"
+                " END"
+            ).alias("url"),
+            F.col("doc_id").alias("warc_ts"),
+        )
+        return (
+            url_dedup(pages, "url", "warc_ts", "doc_id")
+            .select("canonical_url", "doc_id", "warc_ts")
+            .orderBy("canonical_url")
+        )
+
     def token_stats_q(spark, sf_dir):
         from searchlite_spark.textops import token_stats
 
@@ -1508,6 +1563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
+        repetition_stats=repetition_stats_q,
+        gopher_quality=gopher_quality_q,
+        url_dedup_latest=url_dedup_q,
     )
     # The driver checks the FIRST 50 entries in insertion order.  The
     # window ROTATES round-robin: everything deferred in round 4 (green
@@ -1566,6 +1624,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  # quality_score stay in-window for the module
         "token_stats",           # green r04; same quality.py reasoning —
                                  # makes room for the NEW line_dedup row
+        "significant_terms_source",  # green r04; its bgfilter variant (NEW
+                                 # this round, superset code path incl. the
+                                 # full-corpus background default) in-window
+        "agg_cardinality_source",    # green r04; single-metric agg family
+                                 # represented by agg_extended_stats +
+                                 # agg_percentiles in-window
+        "quality_score",         # green r04; quality.py untouched, langid
+                                 # stays in-window for the module — makes
+                                 # room for the NEW webclean rows
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -2296,6 +2363,108 @@ FROM documents d
 LEFT JOIN kept k ON k.doc_id = d.doc_id
 LEFT JOIN rm ON rm.doc_id = d.doc_id
 GROUP BY d.doc_id ORDER BY d.doc_id"""
+    # repetition signals: counts via explode+group here (the readable
+    # SQL form); Spark computes the same numbers with a sort+scan that
+    # never shuffles.  Fractions floor-quantized at 4dp on both sides.
+    O["repetition_stats"] = """
+WITH t AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), w -> w <> '') AS toks
+           FROM documents),
+lines AS (
+  SELECT t.doc_id,
+         trim(array_to_string(toks[(r.range*2+1):(r.range*2+2)], ' ')) AS ln
+  FROM t JOIN range(0, 8192) r ON r.range < ceil(len(toks) / 2.0)
+),
+lcnt AS (SELECT doc_id, ln, count(*) AS c FROM lines WHERE ln <> '' GROUP BY 1, 2),
+lagg AS (
+  SELECT doc_id, sum(c) AS n_lines, sum(c * length(ln)) AS line_chars,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupcnt,
+         sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END) AS dupchars
+  FROM lcnt GROUP BY 1
+),
+g2 AS (
+  SELECT t.doc_id, toks[r.range+1] || ' ' || toks[r.range+2] AS g
+  FROM t JOIN range(0, 4096) r ON r.range < len(toks) - 1
+),
+g2a AS (
+  SELECT doc_id, max(c * length(g)) AS topmass
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+),
+g3 AS (
+  SELECT t.doc_id,
+         toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS g
+  FROM t JOIN range(0, 4096) r ON r.range < len(toks) - 2
+),
+g3a AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dupmass
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT t.doc_id,
+  coalesce(floor(lagg.dupcnt::DOUBLE / lagg.n_lines * 10000) / 10000, 0.0)
+    AS dup_line_frac,
+  coalesce(floor(lagg.dupchars::DOUBLE / lagg.line_chars * 10000) / 10000, 0.0)
+    AS dup_line_char_frac,
+  least(coalesce(floor(g2a.topmass::DOUBLE / length(t.text) * 10000) / 10000, 0.0),
+        1.0) AS top_ngram_char_frac,
+  least(coalesce(floor(g3a.dupmass::DOUBLE / length(t.text) * 10000) / 10000, 0.0),
+        1.0) AS dup_ngram_char_frac
+FROM t
+LEFT JOIN lagg ON lagg.doc_id = t.doc_id
+LEFT JOIN g2a ON g2a.doc_id = t.doc_id
+LEFT JOIN g3a ON g3a.doc_id = t.doc_id
+ORDER BY t.doc_id"""
+    # Gopher stop list written out literally so the oracle stays
+    # decoupled from the implementation's constant
+    _gsw = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    O["gopher_quality"] = f"""
+WITH t AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), w -> w <> '') AS toks
+           FROM documents),
+s AS (
+  SELECT doc_id, text, toks, len(toks) AS nw,
+         list_sum(list_transform(toks, w -> length(w))) AS wchars,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS nalpha,
+         (length(text) - length(replace(text, '#', '')))
+           + floor((length(text) - length(replace(text, '...', ''))) / 3)
+           + (length(text) - length(replace(text, '…', ''))) AS nsym,
+         len(list_filter({_gsw}, sw -> list_contains(toks, sw))) AS stop_hits,
+         CASE WHEN trim(text) = '' THEN 0 ELSE 1 END AS nlines,
+         CASE WHEN trim(text) LIKE '-%' OR trim(text) LIKE '*%'
+                OR trim(text) LIKE '•%' THEN 1 ELSE 0 END AS bullets,
+         CASE WHEN trim(text) LIKE '%...' OR trim(text) LIKE '%…'
+              THEN 1 ELSE 0 END AS ellend
+  FROM t
+)
+SELECT doc_id, nw::INT AS n_words,
+  coalesce(floor(wchars::DOUBLE / nullif(nw, 0) * 10000) / 10000, 0.0)
+    AS mean_word_len,
+  coalesce(floor(nalpha::DOUBLE / nullif(nw, 0) * 10000) / 10000, 0.0)
+    AS alpha_frac,
+  coalesce(floor(nsym::DOUBLE / nullif(nw, 0) * 10000) / 10000, 0.0)
+    AS symbol_ratio,
+  coalesce(floor(bullets::DOUBLE / nullif(nlines, 0) * 10000) / 10000, 0.0)
+    AS bullet_frac,
+  coalesce(floor(ellend::DOUBLE / nullif(nlines, 0) * 10000) / 10000, 0.0)
+    AS ellipsis_frac,
+  stop_hits::INT AS stop_hits,
+  (nw >= 25 AND nw <= 100000
+   AND wchars::DOUBLE / nullif(nw, 0) >= 3.0
+   AND wchars::DOUBLE / nullif(nw, 0) <= 10.0
+   AND nsym::DOUBLE / nullif(nw, 0) <= 0.1
+   AND coalesce(bullets::DOUBLE / nullif(nlines, 0), 0.0) <= 0.9
+   AND coalesce(ellend::DOUBLE / nullif(nlines, 0), 0.0) <= 0.3
+   AND nalpha::DOUBLE / nullif(nw, 0) >= 0.8
+   AND stop_hits >= 1)::INT AS keep
+FROM s ORDER BY doc_id"""
+    # analytic oracle: all 5 spellings of a group normalize to ONE known
+    # canonical, freshest crawl (max doc_id, since warc_ts = doc_id) wins
+    O["url_dedup_latest"] = """
+SELECT 'http://h' || (doc_id // 50)::VARCHAR || '.example.com/page/'
+         || (doc_id // 5)::VARCHAR AS canonical_url,
+       max(doc_id) AS doc_id, max(doc_id) AS warc_ts
+FROM documents
+GROUP BY doc_id // 50, doc_id // 5
+ORDER BY canonical_url"""
     O["token_stats"] = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,

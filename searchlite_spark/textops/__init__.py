@@ -1,3 +1,9 @@
+from searchlite_spark.textops.webclean import (  # noqa: F401
+    gopher_quality,
+    repetition_stats,
+    url_dedup,
+    url_normalize,
+)
 from searchlite_spark.textops.dedup import (  # noqa: F401
     connected_components,
     exact_dedup,
