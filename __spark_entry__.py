@@ -991,6 +991,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("canonical_url")
         )
 
+    def chunk_documents_q(spark, sf_dir):
+        # window 8 / overlap 2 so most docs produce several chunks
+        from searchlite_spark.textops import chunk_documents
+
+        return chunk_documents(
+            _docs(spark, sf_dir), chunk_tokens=8, overlap=2
+        ).orderBy("doc_id", "chunk_id")
+
+    def redact_pii_q(spark, sf_dir):
+        """Deterministic PII is appended to each document (email, phone,
+        ipv4 derived from doc_id), then redacted; the oracle builds the
+        same dirty text and asserts counts + redacted output."""
+        from searchlite_spark.textops import redact_pii
+
+        dirty = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr(
+                "concat(text, ' contact user', CAST(doc_id AS STRING),"
+                " '@example.com or +1555', lpad(CAST(doc_id % 10000 AS STRING), 7, '0'),"
+                " ' at 10.0.0.', CAST(doc_id % 256 AS STRING))"
+            ).alias("text"),
+        )
+        return redact_pii(dirty).orderBy("doc_id")
+
     def token_stats_q(spark, sf_dir):
         from searchlite_spark.textops import token_stats
 
@@ -1566,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_stats=repetition_stats_q,
         gopher_quality=gopher_quality_q,
         url_dedup_latest=url_dedup_q,
+        chunk_documents=chunk_documents_q,
+        redact_pii=redact_pii_q,
     )
     # The driver checks the FIRST 50 entries in insertion order.  The
     # window ROTATES round-robin: everything deferred in round 4 (green
@@ -1633,6 +1659,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score",         # green r04; quality.py untouched, langid
                                  # stays in-window for the module — makes
                                  # room for the NEW webclean rows
+        "suggest_completion_s",  # green r04; suggest path untouched this
+                                 # round, cursor_page2 stays in-window for
+                                 # postprocess/engine
+        "ann_cosine_topk",       # green r04; quantized_cosine_topk (in-
+                                 # window) re-ranks THROUGH cosine_topk, so
+                                 # the brute path stays externally checked —
+                                 # makes room for the NEW transform rows
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -2458,6 +2491,37 @@ SELECT doc_id, nw::INT AS n_words,
 FROM s ORDER BY doc_id"""
     # analytic oracle: all 5 spellings of a group normalize to ONE known
     # canonical, freshest crawl (max doc_id, since warc_ts = doc_id) wins
+    O["chunk_documents"] = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), w -> w <> '') AS toks
+           FROM documents),
+c AS (
+  SELECT t.doc_id, r.range AS chunk_id,
+         toks[(r.range*6+1):(r.range*6+8)] AS ck
+  FROM t JOIN range(0, 4096) r
+    ON r.range < greatest(1, ceil((len(toks) - 2)::DOUBLE / 6))
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       array_to_string(ck, ' ') AS chunk_text, len(ck)::INT AS n_tokens
+FROM c ORDER BY doc_id, chunk_id"""
+    O["redact_pii"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com or +1555'
+           || lpad((doc_id % 10000)::VARCHAR, 7, '0')
+           || ' at 10.0.0.' || (doc_id % 256)::VARCHAR AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[email]', 'g'),
+      '\b(\d{1,3}\.){3}\d{1,3}\b', '[ipv4]', 'g'),
+      '\+\d{7,15}\b', '[phone]', 'g') AS text,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+  len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ipv4,
+  len(regexp_extract_all(text, '\+\d{7,15}\b'))::INT AS n_phone
+FROM d ORDER BY doc_id"""
     O["url_dedup_latest"] = """
 SELECT 'http://h' || (doc_id // 50)::VARCHAR || '.example.com/page/'
          || (doc_id // 5)::VARCHAR AS canonical_url,

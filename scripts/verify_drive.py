@@ -68,6 +68,26 @@ def main():
         "removed total",
         ld.agg({"lines_removed": "sum"}).first()[0],
     )
+    from searchlite_spark.textops import (
+        chunk_documents,
+        gopher_quality,
+        redact_pii,
+        repetition_stats,
+    )
+
+    print("chunks", chunk_documents(corpus, chunk_tokens=8, overlap=2).count())
+    print(
+        "gopher keep",
+        gopher_quality(corpus, min_words=25, min_stop_hits=1)
+        .groupBy("keep")
+        .count()
+        .collect(),
+    )
+    print("repetition rows", repetition_stats(corpus).count())
+    print(
+        "redact emails",
+        redact_pii(corpus).agg({"n_email": "sum"}).first()[0],
+    )
     spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
     print("VERIFY-OK")

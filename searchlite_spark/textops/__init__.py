@@ -1,3 +1,7 @@
+from searchlite_spark.textops.transform import (  # noqa: F401
+    chunk_documents,
+    redact_pii,
+)
 from searchlite_spark.textops.webclean import (  # noqa: F401
     gopher_quality,
     repetition_stats,
