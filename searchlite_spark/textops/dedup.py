@@ -59,19 +59,39 @@ def _tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
+def bind_once(expr, f):
+    """Apply ``f`` to ``expr`` with ``expr`` evaluated exactly ONCE per
+    row, by passing it through a single-element higher-order function
+    as a lambda variable.  A lambda variable is a materialized value;
+    an expression referenced inside a lambda BODY is re-evaluated per
+    array element — for a token array built by split() that silently
+    turns an O(n) construction into O(n²) string work per row
+    (measured 100×+ slowdowns on 100-token docs)."""
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
 def shingles(col, n: int = 3):
     """n-token shingles as strings: transform over a token-index
-    sequence — stays in whole-stage codegen."""
-    toks = _tokens(col)
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.when(k <= 0, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
+    sequence, with the token array bound once per row (see
+    ``bind_once`` — HOF lambdas are interpreted, so the constant
+    factor matters and the re-evaluation trap is fatal)."""
+
+    def build(toks):
+        k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        return F.when(k <= 0, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            )
         )
-    )
+
+    return bind_once(_tokens(col), build)
 
 
 def exact_dedup(

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from searchlite_spark.textops.dedup import bind_once
+
 # Deliberately simple, RE2-and-Java-compatible patterns — the contract
 # is deterministic redaction, not perfect PII recall.  Order matters:
 # emails are redacted before phone numbers so digits inside an already
@@ -42,15 +44,26 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
-    n_chunks = F.greatest(
-        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int")
+    toks_expr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
-    )
+
+    # bind the token array once per row — referencing the split()
+    # expression inside the chunk lambda would re-tokenize the document
+    # for every chunk (see dedup.bind_once)
+    def build(toks):
+        n_chunks = F.greatest(
+            F.lit(1),
+            F.ceil((F.size(toks) - F.lit(overlap)).cast("double") / stride).cast(
+                "int"
+            ),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+        )
+
+    chunks = bind_once(toks_expr, build)
     exploded = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_toks")
     )
