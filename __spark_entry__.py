@@ -1015,6 +1015,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return redact_pii(dirty).orderBy("doc_id")
 
+    def decontaminate_q(spark, sf_dir):
+        """Probes = the first 5 documents; any doc sharing a word
+        5-gram with them is dropped (n lowered from the GPT-3 13
+        because corpus docs run 15-30 words)."""
+        from searchlite_spark.textops import decontaminate
+
+        docs = _docs(spark, sf_dir)
+        probes = docs.where(F.col("doc_id") < 5).select("text")
+        return (
+            decontaminate(docs, probes, n=5).select("doc_id").orderBy("doc_id")
+        )
+
     def token_stats_q(spark, sf_dir):
         from searchlite_spark.textops import token_stats
 
@@ -1592,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         url_dedup_latest=url_dedup_q,
         chunk_documents=chunk_documents_q,
         redact_pii=redact_pii_q,
+        decontaminate=decontaminate_q,
     )
     # The driver checks the FIRST 50 entries in insertion order.  The
     # window ROTATES round-robin: everything deferred in round 4 (green
@@ -1666,6 +1679,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  # window) re-ranks THROUGH cosine_topk, so
                                  # the brute path stays externally checked —
                                  # makes room for the NEW transform rows
+        "rescore_window",        # green r04; postprocess rescore untouched
+                                 # this round, cursor_page2 stays in-window
+                                 # for the module — makes room for the NEW
+                                 # decontaminate row
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -2491,6 +2508,23 @@ SELECT doc_id, nw::INT AS n_words,
 FROM s ORDER BY doc_id"""
     # analytic oracle: all 5 spellings of a group normalize to ONE known
     # canonical, freshest crawl (max doc_id, since warc_ts = doc_id) wins
+    O["decontaminate"] = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), w -> w <> '') AS toks
+           FROM documents),
+pg AS (
+  SELECT DISTINCT array_to_string(toks[(r.range+1):(r.range+5)], ' ') AS g
+  FROM t JOIN range(0, 4096) r ON r.range <= len(toks) - 5
+  WHERE doc_id < 5
+),
+dg AS (
+  SELECT t.doc_id, array_to_string(toks[(r.range+1):(r.range+5)], ' ') AS g
+  FROM t JOIN range(0, 4096) r ON r.range <= len(toks) - 5
+),
+hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN pg ON dg.g = pg.g)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY doc_id"""
     O["chunk_documents"] = """
 WITH t AS (SELECT doc_id,
                   list_filter(string_split(text, ' '), w -> w <> '') AS toks

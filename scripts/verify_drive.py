@@ -88,6 +88,11 @@ def main():
         "redact emails",
         redact_pii(corpus).agg({"n_email": "sum"}).first()[0],
     )
+    from searchlite_spark.textops import decontaminate, minhash_dedup
+
+    probes = corpus.where("doc_id < 5").select("text")
+    print("decontaminated survivors", decontaminate(corpus, probes, n=5).count())
+    print("minhash_dedup survivors", minhash_dedup(corpus).count())
     spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
     print("VERIFY-OK")

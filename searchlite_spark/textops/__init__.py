@@ -10,8 +10,10 @@ from searchlite_spark.textops.webclean import (  # noqa: F401
 )
 from searchlite_spark.textops.dedup import (  # noqa: F401
     connected_components,
+    decontaminate,
     exact_dedup,
     line_dedup,
+    minhash_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
     near_dedup_survivors,

@@ -450,6 +450,62 @@ def connected_components(
     ).union(roots)
 
 
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end MinHash near-dedup: LSH candidate pairs →
+    large-star/small-star clustering → one survivor (min id) per
+    cluster.  The standard web-corpus dedup pipeline as one call;
+    each stage is the scale-shaped primitive documented on its own
+    function."""
+    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    return near_dedup_survivors(df, pairs, id_col=id_col)
+
+
+def decontaminate(
+    df: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing at least
+    one word ``n``-gram with any probe text (the eval-set side).  The
+    standard n=13 follows GPT-3's test-set filtering (Brown et al.
+    2020, appendix C).
+
+    Scale shape: the probe n-gram set is benchmark-sized (thousands),
+    so it is broadcast — the corpus side is one generator explode, a
+    broadcast LEFT SEMI join, a distinct on contaminated ids, and a
+    broadcast anti-join back.  No all-pairs anything; corpus cost is
+    one scan.
+    """
+    probe_text_col = probe_text_col or text_col
+    probe_grams = (
+        probe_df.select(
+            F.explode(F.array_distinct(shingles(F.col(probe_text_col), n))).alias(
+                "_g"
+            )
+        )
+        .where(F.col("_g") != "")
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_g"),
+    )
+    hit_ids = (
+        doc_grams.join(F.broadcast(probe_grams), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hit_ids, id_col, "left_anti")
+
+
 def near_dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,

@@ -119,3 +119,55 @@ def test_line_dedup_threshold_respected(spark):
     assert out3 == {1: "y", 2: "z", 3: "w"}
     out4 = {r["doc_id"]: r["text"] for r in line_dedup(docs, min_docs=4).collect()}
     assert out4 == {1: "x\ny", 2: "x\nz", 3: "x\nw"}
+
+
+def test_minhash_dedup_end_to_end(spark):
+    # 3 exact copies of one text + 2 unrelated docs: exact copies have
+    # identical signatures, so LSH pairs them with certainty
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base),
+         (10, "one two three four five six seven eight"),
+         (11, "red green blue cyan magenta yellow black white")],
+        "doc_id long, text string",
+    )
+    from searchlite_spark.textops import minhash_dedup
+
+    kept = sorted(r["doc_id"] for r in minhash_dedup(docs).collect())
+    assert kept == [1, 10, 11]
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    from searchlite_spark.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a totally different sentence with no overlap at all"),
+         (3, "prefix words then quick brown fox jumps over suffix")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [("benchmark says quick brown fox jumps over everything",)],
+        "text string",
+    )
+    # 5-gram "quick brown fox jumps over" appears in docs 1 and 3
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, probes, n=5).collect()
+    )
+    assert kept == [2]
+
+
+def test_decontaminate_short_docs_survive(spark):
+    from searchlite_spark.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "too short to match"), (2, "quick brown fox jumps over")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [("quick brown fox jumps over",)], "text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, probes, n=5).collect()
+    )
+    assert kept == [1]
