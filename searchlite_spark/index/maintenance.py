@@ -55,8 +55,9 @@ def compact(
 
 
 # hard ceiling on the pending tombstone set: queries stay correct at
-# any size (the set is only ever broadcast-anti-joined / cogrouped,
-# never driver-materialized), but a large fraction of dead rows means
+# any size (the set is only ever broadcast-anti-joined / cogrouped —
+# the broadcast stages ≤ this many longs on the driver once, never a
+# per-query closure), but a large fraction of dead rows means
 # every query pays scan+filter for documents that can never match —
 # the reference's segment model has the same pressure (too many
 # tombstones => merge).  Compact to clear.

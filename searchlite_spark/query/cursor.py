@@ -188,7 +188,11 @@ def decode_cursor(raw: str, generation, specs) -> tuple[list, int, int]:
                 f"cursor requests {returned} hits, which exceeds max "
                 f"supported {MAX_CURSOR_ADVANCE}"
             )
-        if [f for f, _ in specs] != ["_score"]:
+        if [(f, o) for f, o in specs] != [("_score", "desc")]:
+            # the 21-byte format is only ever minted for the default
+            # relevance sort (score desc); accepting it under any other
+            # field OR order (e.g. _score asc) would silently resume
+            # with the wrong boundary comparison
             raise CursorError("cursor sort order does not match this request")
         return [F32Score(_bits_f32(score_bits))], int(doc_id), int(returned)
     payload = _hex_decode(raw)  # hex errors first, as in the reference

@@ -107,11 +107,14 @@ class Searcher:
         # kernel's seed job — tombstone-free with one broadcast
         # anti-join; the WAND/BMW kernel masks decoded ids via a
         # bucket-cogrouped tombstone DataFrame (blocks are packed, not
-        # row-filterable).  The tombstone set NEVER reaches the driver:
-        # everything stays a parquet-backed DataFrame, so tombstone
-        # volume costs no driver memory and no per-query closure
-        # serialization.  BM25 stats stay the snapshot's (reference
-        # semantics: tombstones apply at merge).
+        # row-filterable).  The set never rides a per-query Python
+        # closure; the broadcast exchange does stage it on the driver
+        # once, but tombstone_delete's MAX_TOMBSTONES = 1M cap bounds
+        # that at ~8 MB (beyond the cap the index must compact), so the
+        # explicit hint can't hit the broadcast size limit.  The
+        # cogroup kernel path is fully executor-side.  BM25 stats stay
+        # the snapshot's (reference semantics: tombstones apply at
+        # merge).
         self._tombstones: DataFrame | None = None
         if index.has_tombstones():
             tomb = F.broadcast(index.tombstones().select("doc_id").distinct())
@@ -233,7 +236,9 @@ class Searcher:
         if request.get("rescore"):
             combined = PP.rescore_hits(self, ordered, request["rescore"], limit)
             ordered = combined.orderBy(
-                F.desc("_win"), F.desc("score"), F.asc("doc_id")
+                F.desc("_win"),
+                F.col("score").cast("float").desc(),
+                F.asc("doc_id"),
             ).drop("_win")
         # collect the ranked window first (order is authoritative), then
         # fetch stored fields for just those ids and merge in order —
@@ -608,7 +613,7 @@ class Searcher:
                 return routed
         m = self.match_set(request)
         return (
-            m.orderBy(F.desc("score"), F.asc("doc_id"))
+            m.orderBy(F.col("score").cast("float").desc(), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "score")
         )
@@ -1285,7 +1290,12 @@ class Searcher:
 
     def _sort_value_col(self, fld: str, order: str) -> Column:
         if fld == "_score":
-            return F.col("score")
+            # rank in f32 space, as the reference does natively: the
+            # kernels lexsort f32 scores and the 21-byte wire cursor
+            # stores f32 bits, so an f64 page ordering would disagree
+            # with the f32 resume boundary whenever two f64-distinct
+            # scores collide after rounding (dropped/duplicated rows)
+            return F.col("score").cast("float")
         c = F.col(fld)
         try:
             if isinstance(self.docs.schema[fld].dataType, T.ArrayType):
@@ -1357,18 +1367,19 @@ class Searcher:
             scored = scored.join(
                 self.docs.select("doc_id", *fields), "doc_id", "left"
             )
-        from searchlite_spark.query.cursor import F32Score
-
         pred = F.lit(False)
         eq = F.lit(True)
         for (fld, order), v in zip(specs, values[:-1]):
             c = self._sort_value_col(fld, order)
-            if isinstance(v, F32Score):
-                # the value round-tripped through f32 bits on the wire
-                # (reference cursor formats store scores as f32) — the
-                # boundary comparison must run in f32 space too
-                c = c.cast("float")
-                v = float(v)
+            if fld == "_score" and v is not None:
+                # _score ordering runs in f32 space (_sort_value_col
+                # casts); the boundary value must be rounded the same
+                # way regardless of which cursor form carried it —
+                # F32Score (opaque wire) is already f32-rounded, a
+                # plain float from the list/dict cursor is not yet
+                import numpy as np
+
+                v = float(np.float32(v))
             if v is None:
                 gt = F.lit(False)
                 eqc = c.isNull()
@@ -1409,7 +1420,9 @@ class Searcher:
         sort field at all (store_columns) and would silently yield a
         None cursor value."""
         if not sort:
-            return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            return scored.orderBy(
+                F.col("score").cast("float").desc(), F.col("doc_id").asc()
+            )
         keep = list(scored.columns)
         fields = [
             (s if isinstance(s, str) else s["field"])

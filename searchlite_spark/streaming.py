@@ -243,23 +243,37 @@ def sessionize(
                 }
             )
             return
-        start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
-        closed = []
+        # Collect every chunk BEFORE sorting: a group larger than one
+        # Arrow batch arrives as multiple pdfs with no cross-chunk
+        # ordering guarantee, so per-chunk sorts are not enough.
+        # Treat the open-session state as one interval and the batch
+        # events as width-0 intervals, then merge by start order with
+        # the gap rule — this also repairs allowed-late events that
+        # precede the open session's start (they extend it downward or
+        # form their own earlier session) instead of being glued onto
+        # a session that starts after them.
+        ts_all: list[int] = []
         for pdf in pdfs:
-            ts_ms = (
-                pdf[ts_col].astype("int64") // 1_000_000
-            ).sort_values()
-            for t in ts_ms:
-                t = int(t)
-                if start_ms is None:
-                    start_ms, end_ms, n = t, t, 1
-                elif t - end_ms <= gap_ms:
-                    end_ms = max(end_ms, t)
-                    n += 1
-                else:
-                    # gap inside the batch: close the old session now
-                    closed.append((start_ms, end_ms, n))
-                    start_ms, end_ms, n = t, t, 1
+            ts_all.extend(
+                int(t) for t in pdf[ts_col].astype("int64") // 1_000_000
+            )
+        intervals = [[t, t, 1] for t in ts_all]
+        if state.exists:
+            s0, e0, n0 = state.get
+            intervals.append([s0, e0, n0])
+        if not intervals:
+            return
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        closed = []
+        start_ms, end_ms, n = intervals[0]
+        for s, e, c in intervals[1:]:
+            if s - end_ms <= gap_ms:
+                end_ms = max(end_ms, e)
+                n += c
+            else:
+                # gap inside the batch: close the old session now
+                closed.append((start_ms, end_ms, n))
+                start_ms, end_ms, n = s, e, c
         state.update((start_ms, end_ms, n))
         # close when the watermark passes end + gap; timeout timestamps
         # must sit above the current watermark

@@ -546,9 +546,15 @@ def line_dedup(
     lines — bounded by document size, never by corpus size.  Empty
     lines are never counted as boilerplate and are always kept.
     """
+    # F.split takes a Java regex but concat_ws (and the kernel-side ops'
+    # str.split) treat the separator literally — quote it so a
+    # regex-special separator like "|" or "." splits on the literal
+    # character instead of exploding the text per-char
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + line_sep + "\\E")
+        ).alias("_pos", "_line"),
     )
     key = F.trim(F.col("_line"))
     freq = (

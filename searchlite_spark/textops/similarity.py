@@ -393,6 +393,24 @@ def cosine_near_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side probe selection: indices of the ``nprobe`` centroids
+    nearest the query, ties broken by cell index.  The left-to-right
+    fold order MUST stay bit-for-bit identical to ``_sqdist_to`` — the
+    exact-copy-in-first-probe-cell determinism guarantee of both IVF
+    search paths depends on driver and executor computing the same
+    nearest cell."""
+    dists = []
+    for i, c in enumerate(centroids):
+        s = 0.0
+        for x, y in zip(query_vec, c):
+            s = s + (float(x) - float(y)) * (float(x) - float(y))
+        dists.append((s, i))
+    return [i for _, i in sorted(dists)[: max(1, int(nprobe))]]
+
+
 def _sqdist_to(vec_col, centroid: list[float]):
     """Squared L2 distance to a literal centroid — JVM-side fold, one
     term per dimension, left-to-right (the same IEEE-double sequence a
@@ -443,42 +461,57 @@ def ivf_train(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).where(F.col(vec_col).isNotNull())
+    persisted = None
     if sample_size is not None:
+        # persist the sample: the lazy TakeOrdered plan would otherwise
+        # re-run the full-corpus sort once per k-means iteration (plus
+        # init), defeating the whole point of sampling at 10^12 rows
         vecs = (
             vecs.orderBy(F.xxhash64("_id"), F.col("_id"))
             .limit(int(sample_size))
+            .persist()
         )
-    init = (
-        vecs.orderBy(F.xxhash64("_id"), F.col("_id"))
-        .limit(int(k_lists))
-        .collect()
-    )
-    centroids = [list(r["_v"]) for r in init]
-    if not centroids:
-        raise ValueError("ivf_train: empty input")
-    for _ in range(int(iters)):
-        assigned = vecs.select(
-            _nearest_list(F.col("_v"), centroids).alias("_list"), "_v"
-        )
-        sums = (
-            assigned.select("_list", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_list", "_pos")
-            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+        persisted = vecs
+    try:
+        init = (
+            vecs.orderBy(F.xxhash64("_id"), F.col("_id"))
+            .limit(int(k_lists))
             .collect()
         )
-        by_list: dict[int, dict[int, tuple[float, int]]] = {}
-        for r in sums:
-            by_list.setdefault(r["_list"], {})[r["_pos"]] = (r["_s"], r["_n"])
-        new = []
-        for i, old in enumerate(centroids):
-            cell = by_list.get(i)
-            if not cell:
-                new.append(old)  # emptied cell: keep the previous mean
-            else:
-                new.append(
-                    [cell[j][0] / cell[j][1] for j in range(len(old))]
+        centroids = [list(r["_v"]) for r in init]
+        if not centroids:
+            raise ValueError("ivf_train: empty input")
+        for _ in range(int(iters)):
+            assigned = vecs.select(
+                _nearest_list(F.col("_v"), centroids).alias("_list"), "_v"
+            )
+            sums = (
+                assigned.select(
+                    "_list", F.posexplode("_v").alias("_pos", "_x")
                 )
-        centroids = new
+                .groupBy("_list", "_pos")
+                .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+                .collect()
+            )
+            by_list: dict[int, dict[int, tuple[float, int]]] = {}
+            for r in sums:
+                by_list.setdefault(r["_list"], {})[r["_pos"]] = (
+                    r["_s"],
+                    r["_n"],
+                )
+            new = []
+            for i, old in enumerate(centroids):
+                cell = by_list.get(i)
+                if not cell:
+                    new.append(old)  # emptied cell: keep the previous mean
+                else:
+                    new.append(
+                        [cell[j][0] / cell[j][1] for j in range(len(old))]
+                    )
+            centroids = new
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     return centroids
 
 
@@ -538,14 +571,7 @@ def ivf_ann_topk(
         centroids = ivf_train(
             df, k_lists, vec_col, id_col, iters, sample_size
         )
-    # driver-side probe selection: same fold order as _sqdist_to
-    dists = []
-    for i, c in enumerate(centroids):
-        s = 0.0
-        for x, y in zip(query_vec, c):
-            s = s + (float(x) - float(y)) * (float(x) - float(y))
-        dists.append((s, i))
-    probes = [i for _, i in sorted(dists)[: max(1, int(nprobe))]]
+    probes = _probe_cells(query_vec, centroids, nprobe)
     assigned = ivf_assign(df, centroids, vec_col, "_ivf_list")
     cand = assigned.where(F.col("_ivf_list").isin(probes)).select(
         *df.columns
@@ -605,13 +631,7 @@ def ivf_index_search(
 
     with open(os.path.join(index_dir, "centroids.json")) as f:
         centroids = json.load(f)
-    dists = []
-    for i, c in enumerate(centroids):
-        s = 0.0
-        for x, y in zip(query_vec, c):
-            s = s + (float(x) - float(y)) * (float(x) - float(y))
-        dists.append((s, i))
-    probes = [i for _, i in sorted(dists)[: max(1, int(nprobe))]]
+    probes = _probe_cells(query_vec, centroids, nprobe)
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
     cand = cells.where(F.col("list_id").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

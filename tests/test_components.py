@@ -90,6 +90,25 @@ def test_line_dedup_removes_shared_lines_preserves_order(spark):
     assert out[3] == ("third text", 1)
 
 
+def test_line_dedup_regex_special_separator_is_literal(spark):
+    """A regex-special line_sep like "|" must split on the literal
+    character — F.split takes a Java regex, so an unquoted "|" would
+    explode the text per-character and shred every document."""
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one|BOILER|keep two"),
+            (2, "BOILER|other line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["lines_removed"])
+        for r in line_dedup(docs, min_docs=2, line_sep="|").collect()
+    }
+    assert out[1] == ("keep one|keep two", 1)
+    assert out[2] == ("other line", 1)
+
+
 def test_line_dedup_empty_lines_never_boilerplate(spark):
     docs = spark.createDataFrame(
         [(1, "a\n\nb"), (2, "c\n\nd")], "doc_id long, text string"

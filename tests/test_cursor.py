@@ -208,3 +208,12 @@ def test_opaque_cursor_depth_cap_on_request(cursor_index):
                          SCORE, True)
     with pytest.raises(CursorError, match="exceeds max supported 50000"):
         s.search({"query": "alpha", "limit": 10, "cursor": deep})
+
+
+def test_score_cursor_rejected_for_score_asc_sort():
+    """The 21-byte format is minted only for the default relevance sort
+    (score DESC); replaying it under _score ASC must be rejected — the
+    field list matches but the boundary comparison direction does not."""
+    c = encode_cursor("g", 10, [3.25], 42, SCORE, True)
+    with pytest.raises(CursorError, match="sort order does not match"):
+        decode_cursor(c, "g", [("_score", "asc")])

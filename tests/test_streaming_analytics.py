@@ -197,3 +197,69 @@ def test_sessionize_gap_and_timeout_close(spark, tmp_path_factory):
         assert by_user[2] == [(_mins(5), _mins(5), 1)]
     finally:
         q.stop()
+
+
+def test_sessionize_late_event_extends_session_start(spark, tmp_path_factory):
+    """An allowed-late event EARLIER than the open session's first seen
+    event must pull session_start down (the reference gap-session
+    semantics are order-independent); chunked groups must behave the
+    same, so Arrow batches are shrunk to force multi-chunk delivery."""
+    src = str(tmp_path_factory.mktemp("sess_late_src"))
+    sink = f"sess_late_{uuid.uuid4().hex[:8]}"
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = sessionize(stream, gap_s=1800)  # 30-minute gap
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            str(tmp_path_factory.mktemp("sess_late_ckpt")),
+        )
+        .start()
+    )
+    try:
+        # batch 1: user 7's events written in DESCENDING time order so
+        # the 3-row Arrow chunks arrive newest-first — a per-chunk sort
+        # alone would fix chunk 1's start at 11:00 and never lower it
+        _write(
+            spark,
+            [
+                (0, _mins(60), 7, "click", 1.0),  # 11:00
+                (1, _mins(55), 7, "click", 1.0),
+                (2, _mins(50), 7, "click", 1.0),
+                (3, _mins(45), 7, "click", 1.0),
+                (4, _mins(40), 7, "click", 1.0),  # 10:40
+            ],
+            src,
+        )
+        _drain(q)
+        # batch 2: a late-but-allowed event at 10:35 (watermark is
+        # 11:00 - 30 min = 10:30) BEFORE the open session's start
+        _write(spark, [(5, _mins(35), 7, "click", 1.0)], src)
+        _drain(q)
+        # advance the watermark well past 11:00 + gap, twice, so the
+        # open session times out and is emitted
+        _write(spark, [(6, _mins(600), 9, "click", 1.0)], src)
+        _drain(q)
+        _write(spark, [(7, _mins(1200), 9, "click", 1.0)], src)
+        _drain(q)
+
+        got = {
+            (r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql(
+                f"SELECT * FROM {sink} WHERE user_id = 7"
+            ).collect()
+        }
+        assert got == {(_mins(35), _mins(60), 6)}
+    finally:
+        q.stop()
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
