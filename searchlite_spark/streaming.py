@@ -183,6 +183,32 @@ def windowed_event_counts(
     )
 
 
+def merge_session_intervals(
+    intervals: list[tuple[int, int, int]], gap_ms: int
+) -> list[tuple[int, int, int]]:
+    """Merge ``(start_ms, end_ms, n_events)`` intervals whose gap is
+    ``<= gap_ms`` into maximal sessions, returned in start order.
+
+    This is the pure core of ``sessionize``: batch events enter as
+    width-0 intervals and the open-session state as one wider interval,
+    so the result is independent of event arrival order (Arrow chunk
+    boundaries, allowed-late rows).  Property: for any multiset of
+    timestamps, the output equals the offline gap-sessionization of the
+    sorted multiset."""
+    ivs = sorted(intervals, key=lambda iv: (iv[0], iv[1]))
+    out: list[tuple[int, int, int]] = []
+    start_ms, end_ms, n = ivs[0]
+    for s, e, c in ivs[1:]:
+        if s - end_ms <= gap_ms:
+            end_ms = max(end_ms, e)
+            n += c
+        else:
+            out.append((start_ms, end_ms, n))
+            start_ms, end_ms, n = s, e, c
+    out.append((start_ms, end_ms, n))
+    return out
+
+
 def sessionize(
     stream_df: DataFrame,
     gap_s: int = 1800,
@@ -257,23 +283,17 @@ def sessionize(
             ts_all.extend(
                 int(t) for t in pdf[ts_col].astype("int64") // 1_000_000
             )
-        intervals = [[t, t, 1] for t in ts_all]
+        intervals = [(t, t, 1) for t in ts_all]
         if state.exists:
             s0, e0, n0 = state.get
-            intervals.append([s0, e0, n0])
+            intervals.append((s0, e0, n0))
         if not intervals:
             return
-        intervals.sort(key=lambda iv: (iv[0], iv[1]))
-        closed = []
-        start_ms, end_ms, n = intervals[0]
-        for s, e, c in intervals[1:]:
-            if s - end_ms <= gap_ms:
-                end_ms = max(end_ms, e)
-                n += c
-            else:
-                # gap inside the batch: close the old session now
-                closed.append((start_ms, end_ms, n))
-                start_ms, end_ms, n = s, e, c
+        merged = merge_session_intervals(intervals, gap_ms)
+        # only the LAST merged session stays open; anything before it
+        # is separated by more than the gap and can close now
+        closed = merged[:-1]
+        start_ms, end_ms, n = merged[-1]
         state.update((start_ms, end_ms, n))
         # close when the watermark passes end + gap; timeout timestamps
         # must sit above the current watermark
