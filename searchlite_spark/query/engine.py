@@ -1397,7 +1397,12 @@ class Searcher:
         multi-valued fields sort by min (asc) / max (desc); missing
         last; stable doc_id tiebreak."""
         if not sort:
-            return [F.col("score").desc(), F.col("doc_id").asc()]
+            # f32 like every other leg of the default relevance sort
+            # (_apply_sort's no-sort branch, _apply_search_after, the
+            # wire cursor): two f64-distinct scores that collide in f32
+            # must compare equal here too, or page-internal order can
+            # disagree with cross-page order.
+            return [F.col("score").cast("float").desc(), F.col("doc_id").asc()]
         cols: list[Column] = []
         for s in sort:
             if isinstance(s, str):

@@ -194,7 +194,9 @@ def merge_session_intervals(
     so the result is independent of event arrival order (Arrow chunk
     boundaries, allowed-late rows).  Property: for any multiset of
     timestamps, the output equals the offline gap-sessionization of the
-    sorted multiset."""
+    sorted multiset (and ``[] -> []``)."""
+    if not intervals:
+        return []
     ivs = sorted(intervals, key=lambda iv: (iv[0], iv[1]))
     out: list[tuple[int, int, int]] = []
     start_ms, end_ms, n = ivs[0]
@@ -218,18 +220,31 @@ def sessionize(
     """Event-time sessionization via ``applyInPandasWithState``: a
     session is a maximal run of one user's events with no gap larger
     than ``gap_s`` seconds; a CLOSED session row
-    ``(user_id, session_start, session_end, n_events)`` is emitted when
-    the event-time watermark passes ``last_event + gap``.
+    ``(user_id, session_start, session_end, n_events)`` is emitted once
+    the event-time watermark passes ``session_end + gap``.
+
+    Emission is watermark-exact, not merely gap-exact: a session
+    separated from its successor by more than the gap is still held in
+    state until ``end + gap < watermark``, because the watermark
+    (delay = ``gap``) only guarantees future events arrive at
+    ``>= max_event_time - gap`` — i.e. possibly BEFORE an already-gap-
+    closed session's ``end + gap``, in which case they must merge into
+    it (offline gap semantics).  State is therefore a LIST of open
+    intervals (starts/ends/counts arrays); each batch merges state +
+    events with the order-independent interval rule, emits the prefix
+    provably safe under the watermark, and keeps the rest.  State per
+    user stays bounded by the watermark horizon: an interval survives
+    only while ``end + gap >= watermark``, so at most
+    ``ceil(horizon/gap)`` intervals are ever held.
 
     This is the custom-stateful-operator pattern the built-in windowed
     aggregation can't express (variable-length windows keyed on
-    inter-event gaps).  Per-group state is three scalars (start, end,
-    count) — bounded regardless of session length; the state store
-    holds one row per OPEN session, evicted on timeout.  The watermark
-    (delay = ``gap_s``) is declared here — feed the raw stream.
+    inter-event gaps).  The watermark (delay = ``gap_s``) is declared
+    here — feed the raw stream.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
+        ArrayType,
         LongType,
         StructField,
         StructType,
@@ -246,38 +261,73 @@ def sessionize(
     )
     state_schema = StructType(
         [
-            StructField("start_ms", LongType()),
-            StructField("end_ms", LongType()),
-            StructField("n", LongType()),
+            StructField("starts", ArrayType(LongType())),
+            StructField("ends", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
         ]
     )
     gap_ms = gap_s * 1000
 
-    def _fn(key, pdfs, state: GroupState):
+    def _emit(uid, closed):
         import pandas as pd
 
-        (uid,) = key
-        if state.hasTimedOut:
-            start_ms, end_ms, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [uid],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
-                    "n_events": [n],
-                }
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(closed),
+                "session_start": [
+                    pd.Timestamp(s, unit="ms") for s, _, _ in closed
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="ms") for _, e, _ in closed
+                ],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+    def _split_and_store(state, merged, wm):
+        """Partition merged intervals into (closeable now, still open)
+        under watermark ``wm``, update/remove state, arm the timeout at
+        the earliest possible close.  An interval is safe to close only
+        when ``end + gap < wm``: Spark admits events with ts >= wm, and
+        an event at exactly ``end + gap`` still merges."""
+        closed = [iv for iv in merged if iv[1] + gap_ms < wm]
+        open_ = [iv for iv in merged if iv[1] + gap_ms >= wm]
+        if open_:
+            state.update(
+                (
+                    [s for s, _, _ in open_],
+                    [e for _, e, _ in open_],
+                    [c for _, _, c in open_],
+                )
             )
+            # earliest close instant; must be strictly above the
+            # current watermark to satisfy the state-store contract
+            state.setTimeoutTimestamp(
+                max(min(e + gap_ms for _, e, _ in open_), wm + 1)
+            )
+        else:
+            state.remove()
+        return closed
+
+    def _fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            starts, ends, ns = state.get
+            merged = list(zip(starts, ends, ns))
+            closed = _split_and_store(state, merged, wm)
+            if closed:
+                yield _emit(uid, closed)
             return
         # Collect every chunk BEFORE sorting: a group larger than one
         # Arrow batch arrives as multiple pdfs with no cross-chunk
         # ordering guarantee, so per-chunk sorts are not enough.
-        # Treat the open-session state as one interval and the batch
-        # events as width-0 intervals, then merge by start order with
-        # the gap rule — this also repairs allowed-late events that
-        # precede the open session's start (they extend it downward or
-        # form their own earlier session) instead of being glued onto
-        # a session that starts after them.
+        # Treat each open-session interval in state as one interval and
+        # the batch events as width-0 intervals, then merge by start
+        # order with the gap rule — this also repairs allowed-late
+        # events that precede an open session's start (they extend it
+        # downward or form their own earlier session) instead of being
+        # glued onto a session that starts after them.
         ts_all: list[int] = []
         for pdf in pdfs:
             ts_all.extend(
@@ -285,34 +335,14 @@ def sessionize(
             )
         intervals = [(t, t, 1) for t in ts_all]
         if state.exists:
-            s0, e0, n0 = state.get
-            intervals.append((s0, e0, n0))
+            starts, ends, ns = state.get
+            intervals.extend(zip(starts, ends, ns))
         if not intervals:
             return
         merged = merge_session_intervals(intervals, gap_ms)
-        # only the LAST merged session stays open; anything before it
-        # is separated by more than the gap and can close now
-        closed = merged[:-1]
-        start_ms, end_ms, n = merged[-1]
-        state.update((start_ms, end_ms, n))
-        # close when the watermark passes end + gap; timeout timestamps
-        # must sit above the current watermark
-        state.setTimeoutTimestamp(
-            max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
+        closed = _split_and_store(state, merged, wm)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [uid] * len(closed),
-                    "session_start": [
-                        pd.Timestamp(s, unit="ms") for s, _, _ in closed
-                    ],
-                    "session_end": [
-                        pd.Timestamp(e, unit="ms") for _, e, _ in closed
-                    ],
-                    "n_events": [c for _, _, c in closed],
-                }
-            )
+            yield _emit(uid, closed)
 
     return (
         stream_df.withWatermark(ts_col, f"{gap_s} seconds")

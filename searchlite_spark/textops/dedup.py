@@ -549,11 +549,15 @@ def line_dedup(
     # F.split takes a Java regex but concat_ws (and the kernel-side ops'
     # str.split) treat the separator literally — quote it so a
     # regex-special separator like "|" or "." splits on the literal
-    # character instead of exploding the text per-char
+    # character instead of exploding the text per-char.  Mirror Java
+    # Pattern.quote: a literal "\E" inside the separator would end the
+    # \Q region early, so break out of the quote, emit an escaped \E,
+    # and re-enter (\E\\E\Q), exactly like Pattern.quote does.
+    quoted_sep = "\\Q" + line_sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + line_sep + "\\E")
+            F.split(F.col(text_col), quoted_sep)
         ).alias("_pos", "_line"),
     )
     key = F.trim(F.col("_line"))

@@ -109,6 +109,27 @@ def test_line_dedup_regex_special_separator_is_literal(spark):
     assert out[2] == ("other line", 1)
 
 
+def test_line_dedup_separator_containing_quote_end(spark):
+    r"""A line_sep containing the literal two-char sequence ``\E`` must
+    still be treated literally: a naive \Q...\E wrap would end the
+    quote region at the embedded \E and interpret the remainder as
+    regex (Java Pattern.quote escapes this case specially — so do we)."""
+    sep = "\\E|"  # backslash, E, pipe — the \E ends a naive \Q region
+    docs = spark.createDataFrame(
+        [
+            (1, f"keep one{sep}BOILER{sep}keep two"),
+            (2, f"BOILER{sep}other line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["lines_removed"])
+        for r in line_dedup(docs, min_docs=2, line_sep=sep).collect()
+    }
+    assert out[1] == (f"keep one{sep}keep two", 1)
+    assert out[2] == ("other line", 1)
+
+
 def test_line_dedup_empty_lines_never_boilerplate(spark):
     docs = spark.createDataFrame(
         [(1, "a\n\nb"), (2, "c\n\nd")], "doc_id long, text string"

@@ -42,28 +42,61 @@ def test_merge_matches_offline_model_any_order(ts, gap, order):
     assert got == offline_sessions(ts, gap)
 
 
-@settings(max_examples=200, deadline=None)
+def test_empty_input_yields_empty():
+    """[] -> [] — the documented contract of the public pure core."""
+    assert merge_session_intervals([], 100) == []
+
+
+@settings(max_examples=300, deadline=None)
 @given(
     ts=st.lists(
-        st.integers(min_value=0, max_value=10_000), min_size=2, max_size=60
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
     ),
     gap=st.integers(min_value=0, max_value=2_000),
-    cut=st.integers(min_value=1, max_value=59),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=0, max_size=6
+    ),
+    jitter=st.randoms(use_true_random=False),
 )
-def test_open_state_interval_composes_like_raw_events(ts, gap, cut):
-    """Processing a prefix into an open-session interval and then
-    merging the suffix against it gives the same sessions as merging
-    everything at once — the exactness of the streaming decomposition,
-    PROVIDED the suffix cannot close a session the prefix already
-    emitted (which the watermark guarantees: only the LAST prefix
-    session is still open)."""
-    cut = min(cut, len(ts) - 1)
-    prefix, suffix = sorted(ts)[:cut], sorted(ts)[cut:]
-    pre = merge_session_intervals([(t, t, 1) for t in prefix], gap)
-    # the streaming operator keeps only the last (open) session in
-    # state; earlier ones were emitted.  Feed open + suffix back in.
-    open_session = pre[-1]
-    re = merge_session_intervals(
-        [open_session] + [(t, t, 1) for t in suffix], gap
-    )
-    assert pre[:-1] + re == offline_sessions(ts, gap)
+def test_watermark_streaming_decomposition_is_exact(ts, gap, cuts, jitter):
+    """Simulate the fixed sessionize operator batch-by-batch and check
+    its total output (emitted + final open state) equals the offline
+    gap-sessionization — for ANY batching of the event stream that
+    respects the watermark admission rule (event ts >= wm), including
+    allowed-late events that land BEFORE an interval already separated
+    from its successor by more than the gap.
+
+    The operator model matches streaming.sessionize exactly:
+    * wm for batch k = max event time over batches < k, minus gap;
+    * each batch merges state + events with merge_session_intervals;
+    * intervals with end + gap < wm are emitted, the rest stay open.
+    """
+    srt = sorted(ts)
+    # carve the sorted stream into watermark-respecting batches: each
+    # batch takes a prefix of the remainder, then we shuffle WITHIN the
+    # allowed-late window (events >= wm are admissible in any order)
+    bounds = sorted({min(c, len(srt)) for c in cuts} | {len(srt)})
+    batches, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            batches.append(srt[prev:b])
+            prev = b
+    emitted, state, wm = [], [], -(10**9)
+    max_seen = None
+    for batch in batches:
+        # admission: Spark drops ts < wm; our batches are sorted-prefix
+        # carvings so everything is admissible.  Shuffle to prove order
+        # independence inside a batch.
+        batch = list(batch)
+        jitter.shuffle(batch)
+        merged = merge_session_intervals(
+            state + [(t, t, 1) for t in batch], gap
+        )
+        emitted.extend(iv for iv in merged if iv[1] + gap < wm)
+        state = [iv for iv in merged if iv[1] + gap >= wm]
+        max_seen = max(max_seen or batch[0], *batch)
+        wm = max_seen - gap
+    # final flush: watermark -> infinity (what the timeout path does
+    # once the stream drains)
+    emitted.extend(state)
+    assert emitted == offline_sessions(ts, gap)
