@@ -1163,6 +1163,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
+    def ivf_index_search_q(spark, sf_dir):
+        """PERSISTED-IVF probe (similarity.py::ivf_index_build/
+        ivf_index_search): the corpus + 5 planted exact copies of the
+        query vector written partitionBy(list_id) with a centroids.json
+        sidecar, then searched through the partition-pruned path
+        (list_id IN probes on the cell directories — the 10^12-row
+        layout; pruning itself is plan-asserted in
+        test_ivf.py::test_persisted_index_prunes_partitions).  Planted
+        copies land in the query's first probe cell with certainty
+        (identical driver/executor double folds), so the top-6 is the 6
+        cosine-1.0 rows with id tie-break — DuckDB recomputes it as
+        brute-force cosine over the doubled set."""
+        from searchlite_spark.textops import ivf_index_build, ivf_index_search
+
+        emb = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qvec = [float(x) for x in
+                emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        out_dir = _index_dir(sf_dir) + "_ivf"
+        if not os.path.exists(os.path.join(out_dir, "centroids.json")):
+            planted = spark.createDataFrame(
+                [(2000000 + i, qvec) for i in range(5)],
+                "vec_id LONG, embedding ARRAY<DOUBLE>",
+            )
+            ivf_index_build(
+                emb.unionByName(planted), out_dir, k_lists=8, iters=3
+            )
+        out = ivf_index_search(spark, out_dir, qvec, k=6, nprobe=2)
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
     def delete_rebuild_bm25(spark, sf_dir):
         """delete_by_id rewrite: BM25 over the surviving corpus must be
         score-identical to a fresh build (stats recomputed) — the
@@ -1406,6 +1437,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("window_start_ms", "event_type")
         )
 
+    def highlight_fragment(spark, sf_dir):
+        """Token-boundary highlighting (highlight.rs:11-80 via
+        postprocess.highlight_fragments): top-10 BM25 hits for
+        'spark', one 160-char fragment each, centered on the first
+        case-insensitive whole-word match with every in-fragment match
+        wrapped <em>...</em>.  Deterministic strings — the DuckDB
+        oracle reproduces the fragment arithmetic (m.start = prefix
+        length, start = max(pos-80,0), end = min(len, start+160)) and
+        the global replace with RE2."""
+        s = _searcher(spark, sf_dir)
+        resp = s.search(
+            {
+                "query": "spark",
+                "limit": 10,
+                "highlight": {
+                    "fields": {"text": {"number_of_fragments": 1}}
+                },
+            }
+        )
+        rows = [
+            (h["doc_id"], h["highlight"]["text"][0]) for h in resp["hits"]
+        ]
+        return spark.createDataFrame(rows, "doc_id LONG, fragment STRING")
+
+    def stream_sessions(spark, sf_dir):
+        """Stateful event-time sessionization (streaming.py::sessionize,
+        applyInPandasWithState) driven through a REAL multi-batch
+        Structured Streaming query: the events table staged as four
+        time-ordered files (one micro-batch each, so the watermark
+        advances monotonically and no event is ever late) plus two
+        far-future sentinel batches that push the watermark past every
+        real session's end+gap, flushing all open sessions via the
+        event-time timeout.  Because nothing is dropped, the streamed
+        output must equal the offline gap-sessionization — exactly the
+        DuckDB gaps-and-islands oracle (LAG + running-sum session ids).
+        Watermark-exactness itself (a gap-closed session still absorbs
+        allowed-late events until end+gap < watermark) is pytest- and
+        property-gated in test_session_merge_property.py."""
+        from searchlite_spark.streaming import sessionize
+
+        gap_s = 14400  # 4 h — ~150 users x ~45 sessions at sf0.01
+        sentinel_user = 10**9
+        src = _index_dir(sf_dir) + "_sess_src"
+        ready = os.path.join(src, "_ready")
+        if not os.path.exists(ready):
+            import shutil
+
+            shutil.rmtree(src, ignore_errors=True)
+            os.makedirs(src, exist_ok=True)
+            ev = (
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+                .select(
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                        "ts_us"
+                    ),
+                    F.col("user_id").cast("long").alias("user_id"),
+                )
+            )
+            bounds = ev.approxQuantile("ts_us", [0.25, 0.5, 0.75], 0.0)
+            cuts = list(bounds) + [None]
+            max_us = ev.agg(F.max("ts_us")).first()[0]
+            chunks = []
+            prev = None
+            for b in cuts:
+                c = ev
+                if prev is not None:
+                    c = c.where(F.col("ts_us") > prev)
+                if b is not None:
+                    c = c.where(F.col("ts_us") <= b)
+                chunks.append(c)
+                prev = b
+            day_us = 86_400_000_000
+            for s_ts in (max_us + 30 * day_us, max_us + 31 * day_us):
+                chunks.append(
+                    spark.createDataFrame(
+                        [(s_ts, sentinel_user)], "ts_us LONG, user_id LONG"
+                    )
+                )
+            for i, c in enumerate(chunks):
+                tmp = os.path.join(src, f"_tmp{i}")
+                c.coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = [
+                    f
+                    for f in os.listdir(tmp)
+                    if f.endswith(".parquet")
+                ][0]
+                dst = os.path.join(src, f"{i:02d}.parquet")
+                os.replace(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                # the file source orders by modification time — pin it
+                os.utime(dst, (1_700_000_000 + 10 * i,) * 2)
+            with open(ready, "w") as f:
+                f.write("ok\n")
+        stream = (
+            spark.readStream.schema("ts_us LONG, user_id LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(
+                F.timestamp_micros(F.col("ts_us")).alias("ts"), "user_id"
+            )
+        )
+        sess = sessionize(stream, gap_s=gap_s)
+        sink = "stream_sessions_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("session stream did not finish in 600s")
+        return (
+            spark.table(sink)
+            .where(F.col("user_id") != sentinel_user)
+            .select(
+                "user_id",
+                (F.unix_micros("session_start") / 1000)
+                .cast("long")
+                .alias("session_start_ms"),
+                (F.unix_micros("session_end") / 1000)
+                .cast("long")
+                .alias("session_end_ms"),
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+            .orderBy("user_id", "session_start_ms")
+        )
+
     def index_stats(spark, sf_dir):
         """Inspect/stats surface (SURVEY §2.1; reference
         api/reader.rs stats + index/manifest.rs): manifest-level
@@ -1520,6 +1681,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", F.round("score", 4).alias("score_r"))
 
+    def hybrid_filtered(spark, sf_dir):
+        """Filtered multi-clause hybrid retrieval (reader.rs:2000-2183
+        vector plan + root/vector filters, 2379-2473 filter-then-
+        truncate candidate collection, 226-254 per-clause blend with
+        mean over clauses): two vector clauses with different alpha and
+        boost, a root filter (lang=en, both legs) and a vector_filter
+        (n_chars>=100, vector candidates only)."""
+        from searchlite_spark.textops import hybrid_multi_topk
+
+        s = _searcher(spark, sf_dir)
+        emb = _emb(spark, sf_dir)
+        qv = {
+            r["vec_id"]: list(r["embedding"])
+            for r in emb.where(F.col("vec_id").isin([0, 1])).collect()
+        }
+        out = hybrid_multi_topk(
+            s,
+            emb,
+            [
+                {"vector": qv[0], "alpha": 0.5},
+                {"vector": qv[1], "alpha": 0.3, "boost": 2.0},
+            ],
+            query="spark query",
+            k=10,
+            candidate_k=50,
+            doc_filter=[{"KeywordEq": {"field": "lang", "value": "en"}}],
+            vector_filter=[
+                {"I64Range": {"field": "n_chars", "min": 100, "max": 1000000}}
+            ],
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
     def simhash_near_dups(spark, sf_dir):
         """Hamming-banded simhash retrieval with planted exact copies
         (id+1000000): identical texts hash to the SAME signature
@@ -1572,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cursor_page2=cursor_page2,
         agg_sampler=agg_sampler,
         hybrid_search=hybrid_search,
+        hybrid_filtered=hybrid_filtered,
         simhash_near_dups=simhash_near_dups,
         delete_rebuild_bm25=delete_rebuild_bm25,
         maintenance_roundtrip=maintenance_roundtrip,
@@ -1579,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tombstone_bm25=tombstone_bm25,
         stream_append_bm25=stream_append_bm25,
         stream_windowed_counts=stream_windowed_counts,
+        stream_sessions=stream_sessions,
+        highlight_fragment=highlight_fragment,
         index_stats=index_stats,
     )
 
@@ -1595,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash=simhash_q,
         lsh_ann_topk=lsh_ann_q,
         ivf_ann_topk=ivf_ann_q,
+        ivf_index_search=ivf_index_search_q,
         cosine_near_dups=cosine_near_dups,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
@@ -2234,6 +2431,65 @@ FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
     # stream_windowed_counts: Spark's window(ts, '1 day') tumbling
     # windows align to the unix epoch, so window_start_ms is plain
     # floor-division on epoch millis
+    # highlight_fragment: fragment arithmetic replayed in SQL — pos =
+    # 0-based first-match offset (prefix capture length), fragment =
+    # substr(max(pos-80,0)+1, 160 capped at end), then a global
+    # case-insensitive whole-word wrap
+    O["highlight_fragment"] = (
+        _bm25_cte(["spark"])
+        + r""", top AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+f AS (
+  SELECT d.doc_id,
+         length(regexp_extract(d.text, '(?is)^(.*?)\bspark\b', 1)) AS pos,
+         d.text AS text
+  FROM documents d JOIN top USING (doc_id)
+  WHERE regexp_matches(d.text, '(?i)\bspark\b')
+),
+frag AS (
+  SELECT doc_id,
+         substr(text, greatest(pos - 80, 0) + 1,
+                least(length(text), greatest(pos - 80, 0) + 160)
+                  - greatest(pos - 80, 0)) AS fragment
+  FROM f
+)
+SELECT doc_id,
+       regexp_replace(fragment, '\b(spark)\b', '<em>\1</em>', 'gi')
+         AS fragment
+FROM frag ORDER BY doc_id"""
+    )
+
+    # stream_sessions: offline gaps-and-islands replay of the streamed
+    # sessionization — a new session starts when the per-user gap
+    # exceeds 4 h; all comparisons in FLOORED ms (epoch_ms truncates
+    # like the operator's ns//1e6), gap rule `diff <= gap` merges
+    O["stream_sessions"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+d AS (
+  SELECT user_id, ms,
+         CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                   > 14400000
+              OR LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, ms,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+s AS (
+  SELECT user_id,
+         min(ms)::BIGINT AS session_start_ms,
+         max(ms)::BIGINT AS session_end_ms,
+         count(*)::BIGINT AS n_events
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, session_start_ms, session_end_ms, n_events
+FROM s ORDER BY user_id, session_start_ms"""
+
     O["stream_windowed_counts"] = """
 SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) * 86400000
          AS window_start_ms,
@@ -2313,6 +2569,49 @@ merged AS (
   SELECT COALESCE(s.doc_id, v.vec_id) AS doc_id,
          0.5 * COALESCE(s.score, 0.0) + 0.5 * COALESCE(v.cosine, -1.0) AS h
   FROM scored s FULL OUTER JOIN vs v ON s.doc_id = v.vec_id
+)
+SELECT doc_id, round(h, 4) AS score_r FROM merged
+ORDER BY h DESC, doc_id ASC LIMIT 10"""
+    )
+    # hybrid_filtered: bm25 leg root-filtered to lang=en; each vector
+    # leg filtered (root + vector_filter: n_chars>=100) BEFORE its
+    # top-50 truncation; blend = mean of per-clause alpha blends with
+    # missing sentinels (bm25->0.0, cosine->-1.0), clause 2 boosted 2x
+    O["hybrid_filtered"] = (
+        _bm25_cte(["spark", "query"], "lower(d.lang) = 'en'")
+        + """, fe AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE lower(d.lang) = 'en' AND d.n_chars BETWEEN 100 AND 1000000
+),
+q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+q1 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+vs0 AS (
+  SELECT vec_id, cosine FROM (
+    SELECT fe.vec_id,
+           list_dot_product(fe.v, q0.qv)
+             / (sqrt(list_dot_product(fe.v, fe.v))
+                * sqrt(list_dot_product(q0.qv, q0.qv))) AS cosine
+    FROM fe CROSS JOIN q0
+  ) ORDER BY cosine DESC, vec_id ASC LIMIT 50
+),
+vs1 AS (
+  SELECT vec_id, 2.0 * cosine AS cosine FROM (
+    SELECT fe.vec_id,
+           list_dot_product(fe.v, q1.qv)
+             / (sqrt(list_dot_product(fe.v, fe.v))
+                * sqrt(list_dot_product(q1.qv, q1.qv))) AS cosine
+    FROM fe CROSS JOIN q1
+  ) ORDER BY cosine DESC, vec_id ASC LIMIT 50
+),
+merged AS (
+  SELECT COALESCE(s.doc_id, v0.vec_id, v1.vec_id) AS doc_id,
+         ( (0.5 * COALESCE(s.score, 0.0) + 0.5 * COALESCE(v0.cosine, -1.0))
+         + (0.3 * COALESCE(s.score, 0.0) + 0.7 * COALESCE(v1.cosine, -1.0))
+         ) / 2.0 AS h
+  FROM scored s
+  FULL OUTER JOIN vs0 v0 ON s.doc_id = v0.vec_id
+  FULL OUTER JOIN vs1 v1 ON COALESCE(s.doc_id, v0.vec_id) = v1.vec_id
 )
 SELECT doc_id, round(h, 4) AS score_r FROM merged
 ORDER BY h DESC, doc_id ASC LIMIT 10"""
@@ -2707,4 +3006,7 @@ c AS (
 )
 SELECT vec_id, round(cosine, 4) AS cosine_r FROM c
 ORDER BY cosine DESC, vec_id ASC LIMIT 6"""
+    # persisted-index probe must return the identical top-6 (planted
+    # copies are found with certainty through the partitioned layout)
+    O["ivf_index_search"] = O["ivf_ann_topk"]
     return O

@@ -24,6 +24,7 @@ from searchlite_spark.textops.dedup import (  # noqa: F401
 from searchlite_spark.textops.similarity import (  # noqa: F401
     cosine_near_pairs,
     cosine_topk,
+    hybrid_multi_topk,
     hybrid_topk,
     ivf_ann_topk,
     ivf_assign,

@@ -164,6 +164,150 @@ def hybrid_topk(
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+MAX_VECTOR_CLAUSES = 8  # reader.rs:134
+
+
+def hybrid_multi_topk(
+    searcher,
+    emb: DataFrame,
+    clauses: list[dict],
+    query=None,
+    k: int = 10,
+    candidate_k: int = 100,
+    doc_filter: list[dict] | None = None,
+    vector_filter: list[dict] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Filtered, multi-clause hybrid retrieval — the full shape of the
+    reference's vector query surface (reader.rs:2000-2183 build plan,
+    2379-2473 candidate collection with root/vector filters,
+    2474-2537 merge, 226-254 compute_hybrid_score):
+
+    * ``clauses``: up to MAX_VECTOR_CLAUSES dicts
+      ``{"vector": [...], "alpha": 0..1 (default 0.5), "boost": >=0
+      (default 1.0)}``.  Per clause, per candidate doc:
+      ``blended = alpha*bm25 + (1-alpha)*vec`` with the reference's
+      degenerate ends (alpha>=1 -> pure bm25, alpha<=0 -> pure vector);
+      the final score is the MEAN of the per-clause blends
+      (compute_hybrid_score's ``blended_sum / clauses.len()``).
+    * missing scores: bm25=0.0 for vector-only candidates, vec=-1.0
+      (cosine missing_vector_score, reader.rs:218-223) for docs outside
+      a clause's candidate set; the missing sentinel is NOT boosted —
+      boost multiplies only real scores, before per-clause truncation
+      (collect_vector_maps ``vscore *= clause.boost``).
+    * ``doc_filter`` (the request root filter) constrains BOTH legs;
+      ``vector_filter`` constrains only the vector candidates.  Both
+      apply BEFORE the per-clause top-``candidate_k`` truncation, as in
+      collect_vector_maps — filter-then-truncate, so a filtered search
+      still returns ``candidate_k`` survivors per clause, not the
+      filtered remnant of an unfiltered top-k.
+    * if every clause has alpha<=0 the query is vector-only: docs with
+      no vector score are dropped (merge_vector_hits's
+      ``all_vector_only`` guard) and the BM25 job never runs.
+
+    Scale shape: the candidate filters are a semi-join of the embedding
+    table against the filtered doc-id set (co-partitioned on the id,
+    AQE broadcasts whichever side is small); each clause is an
+    independent TakeOrdered over the filtered embeddings (swap in
+    lsh_ann_topk/ivf_index_search candidates for the brute scan at
+    10^12 rows — the blend is agnostic to how candidates were found);
+    the merge is a full-outer join over <= |bm25| + n_clauses*k rows.
+    """
+    if not clauses:
+        raise ValueError("hybrid_multi_topk: at least one vector clause")
+    if len(clauses) > MAX_VECTOR_CLAUSES:
+        raise ValueError(
+            f"too many vector clauses: got {len(clauses)}, "
+            f"max supported {MAX_VECTOR_CLAUSES}"
+        )
+    import math
+
+    for c in clauses:
+        alpha = float(c.get("alpha", 0.5))
+        boost = float(c.get("boost", 1.0))
+        if not (0.0 <= alpha <= 1.0) or not math.isfinite(alpha):
+            raise ValueError(
+                "vector alpha must be a finite value between 0 and 1 "
+                "inclusive"
+            )
+        if boost < 0.0 or not math.isfinite(boost):
+            raise ValueError("vector boost must be finite and non-negative")
+
+    from searchlite_spark.query.filters import compile_filters
+
+    cand_src = emb
+    vf = list(doc_filter or []) + list(vector_filter or [])
+    if vf:
+        allowed = searcher.docs.where(
+            compile_filters(searcher.docs, vf)
+        ).select(F.col("doc_id").alias(id_col))
+        cand_src = emb.join(allowed, id_col, "semi")
+
+    legs = []
+    for i, c in enumerate(clauses):
+        boost = float(c.get("boost", 1.0))
+        if boost == 0.0:
+            # reference truncation sorts by BOOSTED score then id; with
+            # boost=0 every score ties, so candidates are the first
+            # candidate_k by id (collect_vector_maps's tie-break)
+            vs = (
+                cand_src.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.lit(0.0).alias(f"_vec{i}"),
+                )
+                .orderBy(F.asc("doc_id"))
+                .limit(candidate_k)
+            )
+        else:
+            # boost > 0 rescales without reordering, so boosting after
+            # the top-k truncation selects the same candidate set as
+            # the reference's boost-before-sort
+            vs = cosine_topk(
+                cand_src, list(c["vector"]), candidate_k, vec_col, id_col
+            ).select(
+                F.col(id_col).alias("doc_id"),
+                (F.col("cosine") * F.lit(boost)).alias(f"_vec{i}"),
+            )
+        legs.append(vs)
+
+    alphas = [float(c.get("alpha", 0.5)) for c in clauses]
+    vector_only = all(a <= 0.0 for a in alphas)
+    if vector_only or query is None:
+        merged = legs[0]
+        for leg in legs[1:]:
+            merged = merged.join(leg, "doc_id", "full_outer")
+        merged = merged.withColumn("_bm25", F.lit(0.0))
+    else:
+        req = {"query": query}
+        if doc_filter:
+            req["filter"] = list(doc_filter)
+        bm = searcher.match_set(req).select(
+            "doc_id", F.col("score").alias("_bm25")
+        )
+        merged = bm
+        for leg in legs:
+            merged = merged.join(leg, "doc_id", "full_outer")
+        merged = merged.withColumn(
+            "_bm25", F.coalesce(F.col("_bm25"), F.lit(0.0))
+        )
+    blend_sum = F.lit(0.0)
+    for i, alpha in enumerate(alphas):
+        vec_i = F.coalesce(F.col(f"_vec{i}"), F.lit(-1.0))
+        if alpha >= 1.0:
+            blended = F.col("_bm25")
+        elif alpha <= 0.0:
+            blended = vec_i
+        else:
+            blended = (
+                F.lit(alpha) * F.col("_bm25") + F.lit(1.0 - alpha) * vec_i
+            )
+        blend_sum = blend_sum + blended
+    score = blend_sum / F.lit(float(len(clauses)))
+    out = merged.select("doc_id", score.alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def _hyperplane_sign(vec_col, plane: int, dim: int):
     """Deterministic pseudo-random hyperplane: weight(plane, j) =
     xxhash64(plane, j) scaled to [-1, 1]."""
