@@ -28,9 +28,11 @@ from searchlite_spark.textops.similarity import (  # noqa: F401
     hybrid_topk,
     ivf_ann_topk,
     ivf_assign,
+    ivf_assign_df,
     ivf_index_build,
     ivf_index_search,
     ivf_train,
+    ivf_train_df,
     lsh_ann_topk,
     quantize_embeddings,
     quantize_query,

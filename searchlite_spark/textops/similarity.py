@@ -659,6 +659,173 @@ def ivf_train(
     return centroids
 
 
+# Above this many cells the literal-expression k-means (k×dim literals
+# in ONE Catalyst expression + a k×dim driver collect per iteration)
+# stops being reasonable; ivf_index_build switches to the DataFrame
+# path.  128×64 ≈ 8k literals compiles in ms; 4096×64 ≈ 262k does not.
+LITERAL_KMEANS_MAX = 128
+
+
+def _sqdist_cols(a, b):
+    """Squared L2 between two array columns — same left-to-right
+    zip_with fold as ``_sqdist_to``, so literal-centroid and
+    DataFrame-centroid assignment compute bit-identical distances."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_train_df(
+    df: DataFrame,
+    k_lists: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    sample_size: int | None = None,
+) -> DataFrame:
+    """Fully-distributed Lloyd k-means: centroids live in a DataFrame
+    ``(list_id INT, centroid ARRAY<DOUBLE>)`` for the whole training
+    loop — NOTHING is collected to the driver, per iteration or at the
+    end.  This is the large-``k_lists`` path: the literal-expression
+    ``ivf_train`` builds a k×dim-literal argmin expression and collects
+    k×dim sums per iteration, both fine at k<=~128 but a
+    Catalyst-compile and driver bottleneck at the 10^12-row playbook's
+    k_lists ≈ N / target_cell_size (thousands to millions of cells).
+
+    * init: the k smallest-xxhash64 rows (TakeOrdered over the corpus,
+      then a row_number over just those k rows), matching ivf_train's
+      deterministic seedless sample;
+    * assign: crossJoin(vecs × centroids) + min_by over
+      (distance, list_id) — the same left-to-right double fold as the
+      literal path, ties to the lowest cell; N×k pairs, fully
+      distributed, map-side only after the centroid broadcast (AQE
+      broadcasts the k-row side);
+    * update: posexplode + hash aggregate per (cell, dim) — k×dim rows,
+      map-side combinable — reassembled into arrays; emptied cells keep
+      their previous centroid via a right join;
+    * lineage is cut per iteration with localCheckpoint (eager), the
+      standard iterative-algorithm hygiene (same as
+      connected_components) — without it the plan doubles each round.
+
+    FP note vs ivf_train: per-pair distances are bit-identical, but the
+    per-cell mean sums in executor-hash-aggregate order instead of the
+    driver dict's, so centroids can differ by ~1 ulp; tests compare
+    with tolerance.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(F.col(vec_col).isNotNull())
+    if sample_size is not None:
+        vecs = (
+            vecs.orderBy(F.xxhash64("_id"), F.col("_id"))
+            .limit(int(sample_size))
+        )
+    vecs = vecs.localCheckpoint(eager=True)
+    from pyspark.sql.window import Window as _W
+
+    init = vecs.orderBy(F.xxhash64("_id"), F.col("_id")).limit(int(k_lists))
+    # row_number over the k init rows only (tiny single partition)
+    centroids = init.select(
+        (
+            F.row_number().over(
+                _W.orderBy(F.xxhash64("_id"), F.col("_id"))
+            )
+            - 1
+        ).alias("list_id"),
+        F.col("_v").alias("centroid"),
+    ).localCheckpoint(eager=True)
+    for _ in range(int(iters)):
+        pairs = vecs.crossJoin(F.broadcast(centroids))
+        d = _sqdist_cols(F.col("_v"), F.col("centroid"))
+        assigned = (
+            pairs.groupBy("_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        d.alias("_d"), F.col("list_id").alias("_l")
+                    )
+                ).alias("_best"),
+                F.first("_v").alias("_v"),
+            )
+            .select(
+                F.col("_best._l").alias("list_id"), F.col("_v")
+            )
+        )
+        sums = (
+            assigned.select(
+                "list_id", F.posexplode("_v").alias("_pos", "_x")
+            )
+            .groupBy("list_id", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+        )
+        means = (
+            sums.groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_pos"), (F.col("_s") / F.col("_n")).alias("_m")
+                            )
+                        )
+                    ),
+                    lambda s: s["_m"],
+                ).alias("_new")
+            )
+        )
+        nxt = (
+            centroids.join(means, "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        centroids = nxt
+    return centroids
+
+
+def ivf_assign_df(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """DataFrame-centroids twin of ivf_assign: nearest cell via the
+    broadcast crossJoin argmin (ties to the lowest cell).  One pass
+    over the corpus; at scale write the result partitionBy(list_col)."""
+    cen = F.broadcast(
+        centroids.select(
+            F.col("list_id").alias("_cl"), F.col("centroid").alias("_cc")
+        )
+    )
+    pairs = df.withColumn(
+        "_vd", F.col(vec_col).cast("array<double>")
+    ).crossJoin(cen)
+    d = _sqdist_cols(F.col("_vd"), F.col("_cc"))
+    best = (
+        pairs.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(d.alias("_d"), F.col("_cl").alias("_l"))
+            ).alias("_best"),
+            *[
+                F.first(c).alias(c)
+                for c in df.columns
+                if c != id_col
+            ],
+        )
+        .select(*df.columns, F.col("_best._l").alias(list_col))
+    )
+    return best
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -739,12 +906,37 @@ def ivf_index_build(
     (optionally on a hash sample), assign once, and every later query
     reads only its nprobe cell directories — Spark's partition pruning
     turns the probe into a file-list operation, no scan and no shuffle.
-    Returns the centroids (also saved in the sidecar)."""
+    Returns the centroids (also saved in the sidecar).
+
+    Routing: k_lists <= LITERAL_KMEANS_MAX uses the literal-expression
+    trainer/assigner (fewer jobs, no crossJoin); above it, training and
+    assignment stay fully distributed (ivf_train_df / ivf_assign_df —
+    centroids never hit the driver during iterations) and only the
+    FINAL centroids are collected once for the probe sidecar (k×dim
+    doubles, e.g. 2 MB at 4096×64)."""
     import json
     import os
 
     if centroids is None:
-        centroids = ivf_train(df, k_lists, vec_col, id_col, iters, sample_size)
+        if int(k_lists) <= LITERAL_KMEANS_MAX:
+            centroids = ivf_train(
+                df, k_lists, vec_col, id_col, iters, sample_size
+            )
+        else:
+            cdf = ivf_train_df(
+                df, k_lists, vec_col, id_col, iters, sample_size
+            )
+            (
+                ivf_assign_df(df, cdf, vec_col, id_col, "list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(os.path.join(out_dir, "cells"))
+            )
+            rows = cdf.orderBy("list_id").collect()  # once, for probes
+            centroids = [list(r["centroid"]) for r in rows]
+            with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+                json.dump(centroids, f)
+            return centroids
     (
         ivf_assign(df, centroids, vec_col, "list_id")
         .write.mode("overwrite")
