@@ -161,7 +161,11 @@ class Searcher:
         (hits, total, collapse groups, rescore, highlight, suggest,
         aggregations)."""
         from searchlite_spark.query import postprocess as PP
+        from searchlite_spark.query.validate import validate_request
 
+        # contract gate (search-request.schema.json mirror): reject
+        # unknown/wrong-typed blocks BEFORE any job is planned
+        validate_request(request)
         limit = int(request.get("limit", DEFAULT_LIMIT))
         if limit <= 0:
             raise ValueError("limit must be > 0")
@@ -210,36 +214,59 @@ class Searcher:
         # (reader.rs: collector runs in accept(); collapse at 2829)
         full_match_set = scored
 
-        inner_df = None
-        collapse = request.get("collapse")
-        if collapse:
-            inner_cfg = collapse.get("inner_hits") or {}
-            reps, inner_df = PP.collapse_hits(
-                self,
-                scored,
-                collapse["field"],
-                self._sort_cols(sort),
-                int(inner_cfg.get("size", 0) or 0),
-                int(inner_cfg.get("from", 0) or 0),
-            )
-            # total_groups follows the same opt-out as total_hits — an
-            # unconditional reps.count() was a second full job per
-            # collapse query even when the caller never reads it
-            if tth is not False:
-                resp["total_groups"] = reps.count()
-            scored = reps.select("doc_id", "score", "_ckey")
-
+        # reference pipeline order (reader.rs:2786-2860): cursor skip
+        # during collection -> sort -> RESCORE -> COLLAPSE -> truncate.
+        # Collapse therefore groups the RESCORED hits: a window hit
+        # whose combined score beats its group's original best becomes
+        # the representative.
         search_after = request.get("search_after")
         if search_after:
             scored = self._apply_search_after(scored, sort, search_after)
         ordered = self._apply_sort(scored, sort, keep_keys=True)
+        group_order_exprs = None
         if request.get("rescore"):
             combined = PP.rescore_hits(self, ordered, request["rescore"], limit)
             ordered = combined.orderBy(
                 F.desc("_win"),
                 F.col("score").cast("float").desc(),
                 F.asc("doc_id"),
-            ).drop("_win")
+            )
+            # first-occurrence position encoding for collapse group
+            # ordering (reference: groups emitted in first-member
+            # order — window block ahead, then the main key)
+            group_order_exprs = [
+                F.when(F.col("_win"), F.lit(0)).otherwise(F.lit(1)),
+                -F.col("score").cast("float"),
+                F.col("doc_id"),
+            ]
+            if not request.get("collapse"):
+                ordered = ordered.drop("_win")
+        inner_df = None
+        collapse = request.get("collapse")
+        if collapse:
+            inner_cfg = collapse.get("inner_hits") or {}
+            rep_cols = self._carried_sort_cols(sort)
+            reps, inner_df = PP.collapse_hits(
+                self,
+                ordered,
+                collapse["field"],
+                rep_cols,
+                int(inner_cfg.get("size", 0) or 0),
+                int(inner_cfg.get("from", 0) or 0),
+                group_order_exprs=group_order_exprs,
+            )
+            # total_groups follows the same opt-out as total_hits — an
+            # unconditional reps.count() was a second full job per
+            # collapse query even when the caller never reads it
+            if tth is not False:
+                resp["total_groups"] = reps.count()
+            drop_cols = [c for c in ("_win", "_gpos") if c in reps.columns]
+            if group_order_exprs is not None:
+                ordered = reps.orderBy(
+                    F.col("_gpos").asc(), F.col("doc_id").asc()
+                ).drop(*drop_cols)
+            else:
+                ordered = reps.orderBy(*rep_cols).drop(*drop_cols)
         # collect the ranked window first (order is authoritative), then
         # fetch stored fields for just those ids and merge in order —
         # avoids a re-sort after the docs join disturbing rescore's
@@ -548,6 +575,9 @@ class Searcher:
         self, request: dict, with_total: bool = False
     ) -> DataFrame | tuple[DataFrame, int | None]:
         """Ranked hits as a DataFrame (doc_id, score, <doc fields>)."""
+        from searchlite_spark.query.validate import validate_request
+
+        validate_request(request)
         if int(request.get("limit", DEFAULT_LIMIT)) <= 0:
             raise ValueError("limit must be > 0")
         request = self._resolve_opaque_cursor(request)
@@ -1410,6 +1440,22 @@ class Searcher:
             else:
                 fld, order = s["field"], s.get("order", "asc")
             c = self._sort_value_col(fld, order)
+            cols.append(
+                c.desc_nulls_last() if order == "desc" else c.asc_nulls_last()
+            )
+        cols.append(F.col("doc_id").asc())
+        return cols
+
+    def _carried_sort_cols(self, sort) -> list[Column]:
+        """Order-by columns valid on frames that CARRY the computed
+        ``_sk_<i>`` sort keys (output of ``_apply_sort(keep_keys=True)``
+        and everything stacked on it) — used after rescore/collapse
+        rebind the frame, where the raw doc fields may be absent."""
+        if not sort:
+            return [F.col("score").cast("float").desc(), F.col("doc_id").asc()]
+        cols: list[Column] = []
+        for i, (_fld, order) in enumerate(self._sort_specs(sort)):
+            c = F.col(f"_sk_{i}")
             cols.append(
                 c.desc_nulls_last() if order == "desc" else c.asc_nulls_last()
             )

@@ -27,12 +27,22 @@ def collapse_hits(
     sort_cols: list,
     inner_size: int = 0,
     inner_from: int = 0,
+    group_order_exprs: list | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Returns (representatives, inner_hits|None).
 
     Representative = best hit per group under the main sort; docs with
     NULL collapse value are dropped; multi-valued fields are rejected
-    (reader.rs:3583-3590)."""
+    (reader.rs:3583-3590).
+
+    ``group_order_exprs``: optional list of ASCENDING-orderable column
+    expressions encoding a hit's position in the incoming stream.  When
+    given, each representative carries ``_gpos`` = the group's MINIMUM
+    position struct — the reference emits groups in order of their
+    FIRST member (reader.rs collapse_hits `order` vec), which differs
+    from representative-key order only when rescore's window block has
+    reordered hits.  A per-group min is one hash aggregate — no global
+    row_number, so no single-partition window at scale."""
     docs = searcher.docs
     if isinstance(docs.schema[field].dataType, T.ArrayType):
         multi = docs.where(F.size(F.col(field)) > 1).limit(1).count()
@@ -46,6 +56,13 @@ def collapse_hits(
     ).where(F.col("_ckey").isNotNull())
     w = W.partitionBy("_ckey").orderBy(*sort_cols)
     ranked = joined.withColumn("_crn", F.row_number().over(w))
+    if group_order_exprs is not None:
+        pos = F.struct(
+            *[e.alias(f"_p{i}") for i, e in enumerate(group_order_exprs)]
+        )
+        ranked = ranked.withColumn(
+            "_gpos", F.min(pos).over(W.partitionBy("_ckey"))
+        )
     reps = ranked.where(F.col("_crn") == 1).drop("_crn")
     inner = None
     if inner_size > 0:
@@ -81,10 +98,12 @@ def rescore_hits(
     re-sorts."""
     window = int(rescore_req["window_size"])
     mode = (rescore_req.get("score_mode") or "total").lower()
-    win = ordered_hits.limit(window).select("doc_id", "score")
-    rest = ordered_hits.select("doc_id", "score").join(
-        win.select("doc_id"), "doc_id", "left_anti"
-    )
+    # passenger columns (_sk_*, anything the caller stacked on) ride
+    # through untouched — collapse runs AFTER rescore (reference order,
+    # reader.rs:2786 then 2830) and needs them
+    extra = [c for c in ordered_hits.columns if c not in ("doc_id", "score")]
+    win = ordered_hits.limit(window)
+    rest = ordered_hits.join(win.select("doc_id"), "doc_id", "left_anti")
     # keep_dropped: matched-but-dropped hits come back with NULL score
     # and must be REMOVED; absent docs didn't match and keep their
     # original score (reader.rs:3357-3361,3386-3393)
@@ -104,6 +123,7 @@ def rescore_hits(
         )
         .otherwise(F.col("score"))
         .alias("score"),
+        *extra,
         F.lit(True).alias("_win"),
     )
     # only the window re-sorts; it stays ahead of the rest as a block
