@@ -1437,6 +1437,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("window_start_ms", "event_type")
         )
 
+    def full_request(spark, sf_dir):
+        """One request with EVERY optional block present — the
+        request-contract row (search-request.schema.json; validated by
+        query/validate.py before any job): filter + collapse(+inner) +
+        rescore + highlight + aggs + suggest + track_total_hits +
+        return_stored + profile + explicit execution/candidate_size.
+        The oracle replays the full composition: filtered BM25 ->
+        collapse reps -> rescore window -> top-5 with per-hit
+        fragments, plus the match-set total, group count, value_count
+        agg and top suggestion as constant columns."""
+        s = _searcher(spark, sf_dir)
+        resp = s.search(
+            {
+                "query": "spark",
+                "fields": ["text"],
+                "filter": [
+                    {"I64Range": {"field": "n_chars", "min": 100, "max": 400}}
+                ],
+                "limit": 5,
+                "execution": "bm25",
+                "candidate_size": 1000,
+                "return_stored": True,
+                "track_total_hits": True,
+                "profile": True,
+                "explain": False,
+                "return_hits": True,
+                "collapse": {"field": "lang", "inner_hits": {"size": 2}},
+                "rescore": {
+                    "window_size": 20,
+                    "query": "query",
+                    "score_mode": "total",
+                },
+                "highlight": {
+                    "fields": {"text": {"number_of_fragments": 1}}
+                },
+                "suggest": {
+                    "s1": {"field": "text", "prefix": "sp", "size": 3}
+                },
+                "aggs": {"nchars_count": {"value_count": {"field": "n_chars"}}},
+            }
+        )
+        rows = [
+            (
+                h["doc_id"],
+                round(h["score"], 4),
+                h["collapse_key"],
+                h["highlight"]["text"][0],
+            )
+            for h in resp["hits"]
+        ]
+        hits = spark.createDataFrame(
+            rows, "doc_id LONG, score_r DOUBLE, lang STRING, fragment STRING"
+        )
+        consts = spark.createDataFrame(
+            [
+                (
+                    int(resp["total_hits_estimate"]),
+                    int(resp["total_groups"]),
+                    int(resp["aggregations"]["nchars_count"]["value"]),
+                    resp["suggest"]["s1"]["options"][0]["text"],
+                )
+            ],
+            "total LONG, total_groups LONG, nchars_count LONG, sugg STRING",
+        )
+        return hits.crossJoin(consts)
+
     def highlight_fragment(spark, sf_dir):
         """Token-boundary highlighting (highlight.rs:11-80 via
         postprocess.highlight_fragments): top-10 BM25 hits for
@@ -1775,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_windowed_counts=stream_windowed_counts,
         stream_sessions=stream_sessions,
         highlight_fragment=highlight_fragment,
+        full_request=full_request,
         index_stats=index_stats,
     )
 
@@ -1804,82 +1871,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decontaminate=decontaminate_q,
     )
     # The driver checks the FIRST 50 entries in insertion order.  The
-    # window ROTATES round-robin: everything deferred in round 4 (green
-    # in CORRECTNESS_r03) is back IN the round-5 window, and this
-    # round's deferrals are all green in CORRECTNESS_r04 — so no
-    # query's external evidence is ever older than two rounds.  Each
-    # deferral has an in-window cousin on the same code path, and
-    # queries whose code changed THIS round (append/maintenance/
-    # streaming torn-commit rework + versioned terms dir, tombstone
-    # cogroup kernel routing, observe() fallback narrowing,
-    # significant_terms left-join rework, dedup warn-on-drop, the new
-    # oracle-checkable minhash/simhash/LSH rows) all stay in-window.
+    # window ROTATES round-robin: ALL 33 round-5 deferrals (green in
+    # CORRECTNESS_r04) are back IN the round-6 window, and every row
+    # deferred THIS round is green in CORRECTNESS_r05 — no query's
+    # external evidence is ever older than two rounds.  Queries whose
+    # code changed this round stay (or enter) in-window: the search()
+    # pipeline reorder to the reference's rescore->COLLAPSE order +
+    # request-contract validation gate (cursor_page2, top_hits_per_lang,
+    # rescore_window, collapse_lang, search_after_sorted, full_request),
+    # the new hybrid multi-clause/vector_filter path (hybrid_filtered),
+    # similarity.py's large-k DataFrame IVF routing (ivf_ann_topk,
+    # ivf_index_search, quantized/lsh/cosine rows), sessionize's
+    # watermark-exact close (stream_sessions), dedup.py's \E-safe
+    # line_sep quoting (line_dedup_boilerplate), and the f32
+    # default-sort fix (every BM25 top-k row; bm25_topk + the WAND/BMW
+    # kernel variants kept per the standing kernel rule).
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
-        "match_sorted",          # green r04; search_after_sorted (same sort
-                                 # plan + keyset path) stays in-window — makes
-                                 # room for the NEW index_stats row
-        "hybrid_search",         # green r04; BOTH legs stay in-window
-                                 # (bm25_topk + ann_cosine_topk), and the
-                                 # similarity.py change this round (new
-                                 # cosine_near_pairs) has its own new
-                                 # in-window row cosine_near_dups
-        "dis_max_tie",           # multi_match_best (dis_max combiner) in-window
-        "regex_match",           # wildcard_match in-window, same expansion path
-        "bm25_bool_must",        # bool_should_msm in-window, same bool matcher
-        "bm25_filter_lang",      # bm25_range_filter in-window, same filter compile
-        "prefix_expand",         # wildcard_match in-window (expand.py)
-        "function_score_fvf",    # script_score + rank_feature_nchars in-window
-        "constant_score_filter", # rank_feature_nchars in-window (vacuous matcher)
-        "multi_match_most",      # multi_match_best in-window
-        "collapse_lang",         # top_hits_per_lang (grouped top-k window fn) in-window
-        "nested_filter_same_obj",  # bm25_range_filter in-window (compile_filters)
-        "agg_composite",         # events_date_histogram + significant_terms_source in-window
-        "events_type_daily",     # events_date_histogram in-window, same calendar
-        "events_top_users",      # top_hits_per_lang in-window (window top-k)
-        "events_derivative",     # events_moving_avg in-window (pipeline/gap policy)
-        "events_bucket_stats",   # events_bucket_script in-window
-        "percentile_ranks_nchars",  # agg_percentiles_nchars in-window
-        "agg_terms_lang",        # significant_terms_source in-window (terms bucketing)
-        "agg_stats_nchars",      # agg_extended_stats in-window
-        "agg_histogram_nchars",  # events_date_histogram in-window (histogram funnel)
-        "agg_range_nchars",      # agg_date_range_events in-window (range buckets)
-        "search_after_sorted",   # green r04; cursor_page2 (same keyset plan,
-                                 # plus the opaque-cursor wire format) stays
-                                 # in-window — makes room for the NEW
-                                 # stream_windowed_counts row
-        "agg_value_count",       # green r04; agg_cardinality_source (adjacent
-                                 # single-metric agg, untouched code path)
-                                 # stays in-window — makes room for the NEW
-                                 # ivf_ann_topk row
-        "ngram_jaccard",         # green r04; the NEW dedup_components row runs
-                                 # the IDENTICAL pair stage as its input, so
-                                 # the pair path stays externally checked
-        "doc_fingerprint",       # green r04; quality.py untouched this round,
-                                 # langid (oracle reworked this round) +
-                                 # quality_score stay in-window for the module
-        "token_stats",           # green r04; same quality.py reasoning —
-                                 # makes room for the NEW line_dedup row
-        "significant_terms_source",  # green r04; its bgfilter variant (NEW
-                                 # this round, superset code path incl. the
-                                 # full-corpus background default) in-window
-        "agg_cardinality_source",    # green r04; single-metric agg family
-                                 # represented by agg_extended_stats +
-                                 # agg_percentiles in-window
-        "quality_score",         # green r04; quality.py untouched, langid
-                                 # stays in-window for the module — makes
-                                 # room for the NEW webclean rows
-        "suggest_completion_s",  # green r04; suggest path untouched this
-                                 # round, cursor_page2 stays in-window for
-                                 # postprocess/engine
-        "ann_cosine_topk",       # green r04; quantized_cosine_topk (in-
-                                 # window) re-ranks THROUGH cosine_topk, so
-                                 # the brute path stays externally checked —
-                                 # makes room for the NEW transform rows
-        "rescore_window",        # green r04; postprocess rescore untouched
-                                 # this round, cursor_page2 stays in-window
-                                 # for the module — makes room for the NEW
-                                 # decontaminate row
+        # -- BM25/search long tail: engine changes are covered in-window
+        #    by bm25_topk + kernel variants + the returning bool/filter/
+        #    expansion cousins; all rows below green r05, paths untouched
+        "bool_should_msm",       # bm25_bool_must + multi_match_most return
+        "wildcard_match",        # regex_match + prefix_expand return (expand.py)
+        "fuzzy_match",           # same expansion cap path as prefix/regex
+        "bm25_single_term",      # bm25_topk + bm25_single_term_bmw in-window
+        "bm25_negation",         # bm25_bool_must returns (same anti-join matcher)
+        "bm25_range_filter",     # bm25_filter_lang + nested_filter_same_obj return
+        "phrase_match",          # green r05; position-join path untouched this
+                                 # round (no engine.py change reaches the n-way
+                                 # position join); bm25 family in-window
+        "script_score",          # function_score_fvf returns (same custom-score
+                                 # hook region); script.py untouched
+        "rank_feature_nchars",   # function_score_fvf + constant_score_filter return
+        "multi_match_best",      # dis_max_tie + multi_match_most BOTH return
+        # -- aggregation family: aggs.py untouched this round; the 12
+        #    returning agg rows re-check the whole funnel
+        "significant_terms_bgfilter",  # significant_terms_source returns
+        "agg_extended_stats",    # agg_stats_nchars returns
+        "events_date_histogram", # events_type_daily + agg_histogram_nchars return
+        "events_month_histogram",  # events_type_daily returns (calendar path)
+        "events_moving_avg",     # events_derivative returns (pipeline/gap policy)
+        "events_bucket_script",  # events_bucket_stats returns
+        "agg_date_range_events", # agg_range_nchars returns
+        "agg_percentiles_nchars",  # percentile_ranks_nchars returns
+        "agg_sampler",           # green r05; sampler untouched; agg funnel
+                                 # re-checked by the returning family
+        # -- index maintenance/streaming: untouched this round except
+        #    sessionize (NEW stream_sessions row in-window); append_bm25
+        #    stays in-window for the family
+        "delete_rebuild_bm25",   # append_bm25 in-window (same manifest swap)
+        "maintenance_roundtrip", # append_bm25 in-window (compaction sibling)
+        "tombstone_bm25",        # append_bm25 in-window; kernel cogroup path
+                                 # unchanged since 40f94ac
+        "stream_append_bm25",    # green r05; streaming ingest untouched; the
+                                 # NEW stream_sessions row keeps streaming.py
+                                 # (the module that DID change) in-window
+        "stream_windowed_counts",  # green r05; windowed-agg path untouched
+        "index_stats",           # green r05; catalog untouched
+        # -- dedup/quality pipeline: dedup.py's only change this round is
+        #    the \E-safe quoting (line_dedup_boilerplate KEPT in-window);
+        #    quality.py/webclean.py/transform.py untouched, all green r05
+        "dedup_exact_survivors", # digest groupBy path untouched
+        "langid",                # quality.py untouched; ngram_jaccard +
+                                 # doc_fingerprint return for textops
+        "minhash_near_dups",     # ngram_jaccard returns (same shingle path);
+                                 # banding untouched
+        "simhash",               # simhash kernel untouched; hamming verify
+                                 # pytest-pinned
+        "simhash_near_dups",     # same module as simhash, untouched
+        "dedup_components",      # green r05 + re-verified at sf0.1 via the
+                                 # union-find harness THIS round
+                                 # (scripts/verify_components.py, BENCH.md)
+        "dedup_near_survivors",  # same — sf0.1 union-find verified this round
+        "repetition_stats",      # webclean.py untouched, green r05
+        "gopher_quality",        # webclean.py untouched, green r05
+        "url_dedup_latest",      # webclean.py untouched, green r05
+        "chunk_documents",       # transform.py untouched, green r05
+        "redact_pii",            # transform.py untouched, green r05
+        "decontaminate",         # probe-gram semi-join untouched, green r05
     ]
     ordered = {k: v for k, v in Q.items() if k not in _deferred}
     ordered.update({k: Q[k] for k in _deferred if k in Q})
@@ -2431,6 +2500,95 @@ FROM ranked WHERE rank <= 3 ORDER BY event_type, rank"""
     # stream_windowed_counts: Spark's window(ts, '1 day') tumbling
     # windows align to the unix epoch, so window_start_ms is plain
     # floor-division on epoch millis
+    # full_request: the whole composition replayed — filtered BM25 ->
+    # collapse reps (rank 1 per lang) -> rescore window (total mode,
+    # rescore query UNfiltered like the engine's independent rescore
+    # request) -> top-5 + per-hit fragment; constants = match-set
+    # total, group count, value_count(lang), top 'sp' suggestion
+    O["full_request"] = (
+        _bm25_cte(["spark"], "d.n_chars BETWEEN 100 AND 400")
+        + r""", base AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+),
+q2(tok) AS (VALUES ('query')),
+dfq2 AS (SELECT tok, count(*)::DOUBLE AS df FROM tok
+         WHERE tok IN (SELECT tok FROM q2) GROUP BY tok),
+scored2 AS (
+  SELECT tok.doc_id,
+         SUM( (greatest(ln((st.n - dfq2.df + 0.5)/(dfq2.df + 0.5)), 0.0) + 1.0)
+              * (tok.tf * (0.9 + 1.0))
+              / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+         ) AS score
+  FROM tok JOIN q2 ON tok.tok = q2.tok JOIN dfq2 ON tok.tok = dfq2.tok
+  JOIN dl ON tok.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tok.doc_id
+),
+resc AS (
+  -- rescore FIRST (reader.rs:2786): window = top-20 hits overall;
+  -- rescored window stays ahead of the rest as a block
+  SELECT b.doc_id,
+         CASE WHEN b.rn <= 20 THEN b.score + COALESCE(s2.score, 0.0)
+              ELSE b.score END AS score,
+         (b.rn <= 20) AS win
+  FROM base b LEFT JOIN scored2 s2 ON b.doc_id = s2.doc_id
+),
+positioned AS (
+  SELECT r.doc_id, r.score, d.lang,
+         row_number() OVER (ORDER BY r.win DESC, r.score DESC,
+                            r.doc_id ASC) AS pos
+  FROM resc r JOIN documents d ON d.doc_id = r.doc_id
+  WHERE d.lang IS NOT NULL
+),
+grouped AS (
+  -- collapse AFTER rescore (reader.rs:2830): representative = best
+  -- rescored member; groups emitted in first-member order
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id ASC) AS crn,
+         min(pos) OVER (PARTITION BY lang) AS gpos
+  FROM positioned
+),
+top5 AS (
+  SELECT lang, doc_id, round(score, 4) AS score_r FROM grouped
+  WHERE crn = 1 ORDER BY gpos ASC LIMIT 5
+),
+frag0 AS (
+  SELECT t.doc_id,
+         length(regexp_extract(d.text, '(?is)^(.*?)\bspark\b', 1)) AS pos,
+         d.text AS text
+  FROM documents d JOIN top5 t USING (doc_id)
+),
+frags AS (
+  SELECT doc_id,
+         regexp_replace(
+           substr(text, greatest(pos - 80, 0) + 1,
+                  least(length(text), greatest(pos - 80, 0) + 160)
+                    - greatest(pos - 80, 0)),
+           '\b(spark)\b', '<em>\1</em>', 'gi') AS fragment
+  FROM frag0
+),
+consts AS (
+  SELECT
+    (SELECT count(*) FROM scored)::BIGINT AS total,
+    (SELECT count(DISTINCT d.lang) FROM scored s
+       JOIN documents d ON d.doc_id = s.doc_id
+      WHERE d.lang IS NOT NULL)::BIGINT AS total_groups,
+    (SELECT count(d.n_chars) FROM scored s
+       JOIN documents d ON d.doc_id = s.doc_id)::BIGINT AS nchars_count,
+    (SELECT tok FROM (SELECT DISTINCT d2.doc_id, t.tok
+                      FROM documents d2,
+                           unnest(string_split(d2.text, ' ')) AS t(tok)
+                      WHERE t.tok <> '')
+      WHERE tok LIKE 'sp%'
+      GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 1) AS sugg
+)
+SELECT t.doc_id, t.score_r, t.lang, f.fragment,
+       c.total, c.total_groups, c.nchars_count, c.sugg
+FROM top5 t JOIN frags f USING (doc_id) CROSS JOIN consts c"""
+    )
+
     # highlight_fragment: fragment arithmetic replayed in SQL — pos =
     # 0-based first-match offset (prefix capture length), fragment =
     # substr(max(pos-80,0)+1, 160 capped at end), then a global
