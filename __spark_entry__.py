@@ -1342,15 +1342,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     id_mode="column",
                 )
                 src = out + "_src"
-                corpus.where(F.col("doc_id") > split).write.mode(
-                    "overwrite"
-                ).parquet(src)
+                # id_mode="column" appends require each micro-batch's
+                # min id to exceed the committed max (the O(1) torn-
+                # append high-water contract) — so the backlog must be
+                # DRAINED IN ID ORDER.  Stage it as 4 sequentially
+                # written single-file id-range slices (strictly
+                # increasing mtimes -> FileStreamSource replays them in
+                # that order) instead of relying on the layout of the
+                # source table, which at sf1 is hash-partitioned.
+                tail = corpus.where(F.col("doc_id") > split)
+                cuts = [
+                    int(split + (mx - split) * f / 4) for f in range(1, 4)
+                ]
+                lo = split
+                for i, hi in enumerate(cuts + [int(mx)]):
+                    sl = tail.where(
+                        (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+                    )
+                    sl.coalesce(1).write.mode("overwrite").parquet(
+                        f"{src}/slice_{i}"
+                    )
+                    lo = hi
                 q = stream_append(
                     spark,
                     out,
                     spark.readStream.schema(corpus.schema)
-                    .option("maxFilesPerTrigger", 4)
-                    .parquet(src),
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src + "/slice_*"),
                     out + "_ckpt",
                     id_mode="column",
                 )
@@ -1386,18 +1404,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the file stream source requires a DIRECTORY — stage the
         # events parquet under one (hardlink when possible)
         src = _index_dir(sf_dir) + "_events_src"
-        if not os.path.exists(os.path.join(src, "events.parquet")):
+        ev_path = f"{sf_dir}/events.parquet"
+        # the table may be a single file (driver testdata) or a
+        # Spark-written dataset directory (sf1 generator) — stage every
+        # data file flat under src either way
+        parts = (
+            sorted(
+                os.path.join(ev_path, f)
+                for f in os.listdir(ev_path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(ev_path)
+            else [ev_path]
+        )
+        if not os.path.exists(os.path.join(src, "_staged")):
+            shutil.rmtree(src, ignore_errors=True)
             os.makedirs(src, exist_ok=True)
-            try:
-                os.link(
-                    f"{sf_dir}/events.parquet",
-                    os.path.join(src, "events.parquet"),
-                )
-            except OSError:
-                shutil.copy(
-                    f"{sf_dir}/events.parquet",
-                    os.path.join(src, "events.parquet"),
-                )
+            for i, p in enumerate(parts):
+                dest = os.path.join(src, f"events_{i:05d}.parquet")
+                try:
+                    os.link(p, dest)
+                except OSError:
+                    shutil.copy(p, dest)
+            with open(os.path.join(src, "_staged"), "w") as fh:
+                fh.write(str(len(parts)))
         ev_schema = spark.read.parquet(src).schema
         # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP — the
         # session timezone is pinned to UTC (session.py) so the cast

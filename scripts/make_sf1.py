@@ -50,20 +50,43 @@ def main() -> None:
     )
 
     docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
-    ntok = F.pmod(F.xxhash64("doc_id", F.lit(1)), 90) + 10
+    # planted duplicate clusters (so dedup/near-dup checks are NOT
+    # vacuous at scale): ~5% of docs with id >= 1000 take their text
+    # from a deterministic head doc in [0, 1000); half verbatim (exact
+    # dups), half with one appended token (near dups, Jaccard >= ~0.7).
+    n_heads = min(1000, max(1, n_docs // 100))
+    is_dup = (F.col("doc_id") >= n_heads) & (
+        F.pmod(F.xxhash64("doc_id", F.lit(31)), 20) == 0
+    )
+    head = F.pmod(F.xxhash64("doc_id", F.lit(33)), n_heads)
+    base_id = F.when(is_dup, head).otherwise(F.col("doc_id"))
+    ntok = F.pmod(F.xxhash64(base_id, F.lit(1)), 90) + 10
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     text = F.array_join(
         F.transform(
             F.sequence(F.lit(0), (ntok - 1).cast("int")),
             lambda i: F.element_at(
                 vocab,
-                (F.pmod(F.xxhash64(F.col("doc_id"), i), len(VOCAB)) + 1).cast(
+                (F.pmod(F.xxhash64(base_id, i), len(VOCAB)) + 1).cast(
                     "int"
                 ),
             ),
         ),
         " ",
     )
+    near_tail = F.concat(
+        F.lit(" "),
+        F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64("doc_id", F.lit(37)), len(VOCAB)) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    text = F.when(
+        is_dup & (F.pmod(F.xxhash64("doc_id", F.lit(35)), 2) == 0),
+        F.concat(text, near_tail),
+    ).otherwise(text)
     docs = docs.select(
         "doc_id",
         text.alias("text"),
@@ -77,10 +100,26 @@ def main() -> None:
     )
 
     emb = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    # same planting for vectors: ~5% near-copies of a head vector
+    # (tiny deterministic perturbation -> cosine ~0.9999) so
+    # embedding-cosine near-dup retrieval has real positives at scale
+    v_heads = min(1000, max(1, n_vecs // 100))
+    v_dup = (F.col("vec_id") >= v_heads) & (
+        F.pmod(F.xxhash64("vec_id", F.lit(41)), 20) == 0
+    )
+    v_base = F.when(v_dup, F.pmod(F.xxhash64("vec_id", F.lit(43)), v_heads)).otherwise(
+        F.col("vec_id")
+    )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda j: (
-            F.xxhash64(F.col("vec_id"), j).cast("double") / F.lit(float(2**63))
+            F.xxhash64(v_base, j).cast("double") / F.lit(float(2**63))
+            + F.when(
+                v_dup,
+                F.xxhash64(F.col("vec_id"), j, F.lit(47)).cast("double")
+                / F.lit(float(2**63))
+                * 0.005,
+            ).otherwise(F.lit(0.0))
         ).cast("float"),
     )
     emb = emb.select(

@@ -14,7 +14,13 @@ exactly what gets checked:
   * dedup_near_survivors: Spark's survivor set must equal
     all-doc-ids minus every non-minimum member of each component.
 
-Usage: python scripts/verify_components.py [sf_dir]
+Pair generation is selectable because the exact n-gram Jaccard
+generator is the quadratic-by-design verification primitive (blocked
+all-pairs) and cannot run past sf0.1; at sf1+ the SCALE path is
+MinHash+LSH, whose banded buckets stay bounded at any corpus size —
+the closure over those pairs is what a 100-TB dedup would actually run.
+
+Usage: python scripts/verify_components.py [sf_dir] [exact|minhash]
 """
 
 from __future__ import annotations
@@ -56,11 +62,20 @@ def main() -> int:
     spark = get_spark(
         "verify_components", cores=os.environ.get("SPARK_GRAFT_CPUS", "16")
     )
+    mode = sys.argv[2] if len(sys.argv) > 2 else "exact"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    pairs = ngram_jaccard_pairs(docs, "source", threshold=0.015)
+    if mode == "minhash":
+        from searchlite_spark.textops import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.5, warn_on_drop=False
+        ).select("id_a", "id_b")
+    else:
+        pairs = ngram_jaccard_pairs(docs, "source", threshold=0.015)
+    pairs = pairs.persist()
     pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
-    print(f"{sf_dir}: {n_docs} docs, {len(pair_rows)} verified pairs")
+    print(f"{sf_dir} [{mode}]: {n_docs} docs, {len(pair_rows)} verified pairs")
 
     # ---- oracle: union-find over the same pairs -------------------------
     uf = UnionFind()
