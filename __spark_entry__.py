@@ -177,6 +177,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_topk(spark, sf_dir):
         return _topk(_searcher(spark, sf_dir), {"query": "spark query window"})
 
+    def batch_bm25_topk(spark, sf_dir):
+        """Batched multi-query execution (query/batch.py::batch_topk):
+        four queries scored in ONE distributed pass — one pushed-down
+        postings scan over the union term set, a broadcast per-query
+        term table, a map-side-combined (query, doc) aggregate, and a
+        WindowGroupLimit partial/final per-query top-k.  Results are
+        row-identical to the single-query engine (pytest-pinned in
+        test_batch.py); the oracle replays all four BM25 rankings with
+        a per-query window rank."""
+        from searchlite_spark.query import batch_topk
+
+        s = _searcher(spark, sf_dir)
+        reqs = {
+            "q_hjf": {"query": "hash join fast"},
+            "q_ms": {"query": "merge sort"},
+            "q_swq": {"query": "spark query window"},
+            "q_vec": {"query": "vector"},
+        }
+        return (
+            batch_topk(s, reqs, k=10)
+            .select(
+                "query_id",
+                "doc_id",
+                F.round("score", 4).alias("score_r"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+            .orderBy("query_id", "rank")
+        )
+
     def bm25_single_term(spark, sf_dir):
         return _topk(
             _searcher(spark, sf_dir),
@@ -302,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q.update(
         bm25_topk=bm25_topk,
+        batch_bm25_topk=batch_bm25_topk,
         bm25_single_term=bm25_single_term,
         bm25_bool_must=bm25_bool_must,
         bm25_negation=bm25_negation,
@@ -1924,7 +1954,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_should_msm",       # bm25_bool_must + multi_match_most return
         "wildcard_match",        # regex_match + prefix_expand return (expand.py)
         "fuzzy_match",           # same expansion cap path as prefix/regex
-        "bm25_single_term",      # bm25_topk + bm25_single_term_bmw in-window
+        "bm25_single_term",      # bm25_topk + the kernel rows in-window
+        "bm25_single_term_bmw",  # green r05 AND re-verified at sf0.01+sf1
+                                 # THIS round; wand.py/blocks.py/codec.py
+                                 # untouched in r06, and the kernel keeps
+                                 # TWO in-window rows (bm25_topk_bmw,
+                                 # bm25_topk_wand) — deferred to make
+                                 # room for the NEW batch_bm25_topk row
         "bm25_negation",         # bm25_bool_must returns (same anti-join matcher)
         "bm25_range_filter",     # bm25_filter_lang + nested_filter_same_obj return
         "phrase_match",          # green r05; position-join path untouched this
@@ -2003,6 +2039,55 @@ def oracle_sql() -> dict[str, str]:
     O["bm25_topk_bmw"] = O["bm25_topk"]
     O["bm25_topk_wand"] = O["bm25_topk"]
     O["bm25_single_term_bmw"] = O["bm25_single_term"]
+
+    # batch_bm25_topk: all four rankings replayed in one SQL — same
+    # tf/df/dl/avgdl CTEs as the single-query oracles, a (query_id,
+    # tok) VALUES table, per-(query, doc) BM25 sum, and a per-query
+    # window rank with the engine's f32-space tie-break
+    O["batch_bm25_topk"] = """
+WITH tok AS (
+  SELECT d.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY d.doc_id, t.tok
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         CAST(CAST((SELECT sum(dl) FROM dl) AS FLOAT)
+              / CAST((SELECT count(*) FROM documents) AS FLOAT) AS DOUBLE) AS avgdl
+),
+q(query_id, tok) AS (VALUES
+  ('q_hjf','hash'),('q_hjf','join'),('q_hjf','fast'),
+  ('q_ms','merge'),('q_ms','sort'),
+  ('q_swq','spark'),('q_swq','query'),('q_swq','window'),
+  ('q_vec','vector')),
+dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tok
+        WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+scored AS (
+  SELECT q.query_id, tok.doc_id,
+         SUM( (greatest(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5)), 0.0) + 1.0)
+              * (tok.tf * (0.9 + 1.0))
+              / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+         ) AS score
+  FROM tok
+  JOIN q ON tok.tok = q.tok
+  JOIN dfq ON tok.tok = dfq.tok
+  JOIN dl ON tok.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY q.query_id, tok.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score_r,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(score AS FLOAT) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score_r, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
 
     # ---- scoring long tail ----
     O["function_score_fvf"] = (
