@@ -169,3 +169,52 @@ def test_batch_plan_bounds_topk(batch_searcher):
     assert "BroadcastHashJoin" in plan, plan
     assert "term" in plan and "IN (" in plan  # pushed union term set
     assert "partial_sum" in plan  # map-side combine of contributions
+
+
+@pytest.fixture(scope="module")
+def two_field_searcher(spark, tmp_path_factory):
+    from searchlite_spark.index import IndexSchema, TextField, build_index
+    from searchlite_spark.query import Searcher
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        body = " ".join(
+            VOCAB[min(int(rng.expovariate(0.4)), len(VOCAB) - 1)]
+            for _ in range(rng.randint(6, 14))
+        )
+        title = " ".join(rng.sample(VOCAB, rng.randint(1, 3)))
+        rows.append((i, body, title))
+    corpus = spark.createDataFrame(rows, "doc_id LONG, body STRING, title STRING")
+    schema = IndexSchema(
+        doc_id_field="doc_id",
+        text_fields=(TextField("body"), TextField("title")),
+    )
+    out = str(tmp_path_factory.mktemp("batch_two_field"))
+    return Searcher(
+        build_index(spark, corpus, schema, out, num_partitions=4, id_mode="column")
+    )
+
+
+def test_batch_multi_field_avgdl(two_field_searcher):
+    """Two text fields with different avgdl: the batch per-key avgdl
+    lookup must reproduce the single-query scoring on both fields —
+    a query_string over the default fields scores body AND title
+    occurrences with each field's own length normalization."""
+    from searchlite_spark.query import batch_topk
+
+    reqs = {
+        "t1": {"query": "rust engine"},
+        "t2": {"query": "wand"},
+        "t3": {"query": {"type": "term", "field": "title", "value": "search"}},
+    }
+    got = _by_query(batch_topk(two_field_searcher, reqs, k=8).collect())
+    for qid, req in reqs.items():
+        single = [
+            (r["doc_id"], r["score"])
+            for r in two_field_searcher.topk({**req, "limit": 8}).collect()
+        ]
+        batch = [(r["doc_id"], r["score"]) for r in got.get(qid, [])]
+        assert len(single) == len(batch), (qid, single, batch)
+        for (sd, ss), (bd, bs) in zip(single, batch):
+            assert sd == bd and abs(ss - bs) < 1e-9, (qid, single, batch)
