@@ -65,6 +65,9 @@ def _weighted_terms(searcher, request: dict) -> dict[str, tuple[float, str]]:
     BatchUnsupportedQuery for anything the batch path cannot express
     with single-query-identical semantics (mirrors the WAND router's
     eligibility checks, engine.py::_try_wand)."""
+    from searchlite_spark.query.validate import validate_request
+
+    validate_request(request)  # same contract gate as search()/topk()
     plan, builder = build_query_plan(request, searcher.schema)
     m = plan.matcher
     if isinstance(m, P.QueryStringMatcher):

@@ -218,3 +218,18 @@ def test_batch_multi_field_avgdl(two_field_searcher):
         assert len(single) == len(batch), (qid, single, batch)
         for (sd, ss), (bd, bs) in zip(single, batch):
             assert sd == bd and abs(ss - bs) < 1e-9, (qid, single, batch)
+
+
+def test_batch_validates_request_contract(batch_searcher):
+    """Every batch member passes the same pre-job contract gate as
+    search()/topk(): a typo'd key fails fast instead of silently
+    returning an un-intended ranking."""
+    from searchlite_spark.query import batch_topk
+    from searchlite_spark.query.validate import RequestValidationError
+
+    with pytest.raises(RequestValidationError):
+        batch_topk(batch_searcher, {"q": {"quer": "rust"}}, k=3)
+    with pytest.raises(RequestValidationError):
+        batch_topk(
+            batch_searcher, {"q": {"query": "rust", "rescor": {}}}, k=3
+        )
