@@ -124,6 +124,40 @@ def run_query_suite(searcher, iterations=3):
     return times, runs
 
 
+BATCH_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def run_batch_throughput(searcher, n_queries=64, k=10):
+    """Batched multi-query throughput (query/batch.py): N seeded
+    queries in ONE pass; reported as queries/sec so the per-round
+    bench records the engine's throughput mode, not just per-query
+    latency."""
+    import random
+
+    from searchlite_spark.query import batch_topk
+
+    rng = random.Random(7)
+    reqs = {
+        f"q{i}": {"query": " ".join(rng.sample(BATCH_VOCAB, rng.randint(1, 4)))}
+        for i in range(n_queries)
+    }
+    batch_topk(searcher, {"w": {"query": "spark"}}, k=k).collect()  # warm
+    t0 = time.time()
+    rows = len(batch_topk(searcher, reqs, k=k).collect())
+    secs = time.time() - t0
+    return {
+        "n_queries": n_queries,
+        "secs": round(secs, 2),
+        "qps": round(n_queries / secs, 2),
+        "rows": rows,
+    }
+
+
 def main():
     if "--scaling" in sys.argv:
         from scripts.scaling_bench import run_scaling
@@ -144,6 +178,7 @@ def main():
     n_docs = idx.stats["n_docs"]
     times, runs = run_query_suite(searcher)
     total = round(sum(times.values()), 4)
+    batch = run_batch_throughput(searcher)
     best_build = min(build_runs)
     out = {
         "metric": "searchlite_spark query suite wall time",
@@ -158,6 +193,7 @@ def main():
             "n_docs": n_docs,
             "docs_per_sec": round(n_docs / best_build, 1) if best_build else None,
         },
+        "batch": batch,
     }
     print(json.dumps(out))
     spark.stop()
