@@ -1224,6 +1224,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ivf_index_search(spark, out_dir, qvec, k=6, nprobe=2)
         return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
+    def pq_ann_topk(spark, sf_dir):
+        """Product-quantization ADC top-k (textops/pq.py): train m=8 ×
+        n_codes=16 codebooks over the embeddings, persist codebook +
+        m-code rows (32× smaller than the float vectors), and answer
+        the query by asymmetric-distance lookup — sum over subspaces of
+        <query_sub, centroid[code]> — with NO float vector touched at
+        query time.  The artifacts live at a FIXED path so the STATIC
+        SQL oracle can independently replay the whole scoring: it
+        derives the query's subvectors from the embeddings view
+        (vec_id=0), recomputes every LUT entry with list_dot_product
+        against the persisted codebook, joins the persisted codes, and
+        re-ranks.  (Training/encode correctness is pytest territory —
+        test_pq.py pins argmin parity with numpy and cross-partitioning
+        determinism; the oracle checks the ADC scoring contract.)"""
+        import shutil
+
+        from searchlite_spark.textops import pq_index_build, pq_index_search
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        out = "/tmp/searchlite_entry/pq_current"
+        marker = os.path.join(out, "_sf_" + tag)
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            emb = _emb(spark, sf_dir).select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            pq_index_build(
+                emb, out, m=8, n_codes=16, iters=4, sample_size=20_000
+            )
+            with open(marker, "w") as fh:
+                fh.write(tag)
+        qvec = [
+            float(x)
+            for x in _emb(spark, sf_dir)
+            .where(F.col("vec_id") == 0)
+            .collect()[0]["embedding"]
+        ]
+        out_df = pq_index_search(spark, out, qvec, k=10)
+        return out_df.select(
+            "vec_id", F.round("score", 4).alias("score_r")
+        )
+
     def delete_rebuild_bm25(spark, sf_dir):
         """delete_by_id rewrite: BM25 over the surviving corpus must be
         score-identical to a fresh build (stats recomputed) — the
@@ -1919,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_ann_topk=lsh_ann_q,
         ivf_ann_topk=ivf_ann_q,
         ivf_index_search=ivf_index_search_q,
+        pq_ann_topk=pq_ann_topk,
         cosine_near_dups=cosine_near_dups,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
@@ -1997,6 +2041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- dedup/quality pipeline: dedup.py's only change this round is
         #    the \E-safe quoting (line_dedup_boilerplate KEPT in-window);
         #    quality.py/webclean.py/transform.py untouched, all green r05
+        "quantized_cosine_topk", # green r05 AND re-verified at sf0.01+sf1
+                                 # THIS session; int8-quantization path
+                                 # untouched in r06; cousins lsh/ivf/
+                                 # cosine + the NEW pq_ann_topk keep the
+                                 # vector family 5-deep in-window —
+                                 # deferred to make room for pq_ann_topk
         "dedup_exact_survivors", # digest groupBy path untouched
         "langid",                # quality.py untouched; ngram_jaccard +
                                  # doc_fingerprint return for textops
@@ -3258,6 +3308,39 @@ c AS (
 )
 SELECT vec_id, round(cosine, 4) AS cosine_r FROM c
 ORDER BY cosine DESC, vec_id ASC LIMIT 6"""
+
+    # pq_ann_topk: independent ADC replay from the persisted PQ layout
+    # (fixed path — the Spark query always (re)builds it for the
+    # CURRENT sf before the oracle reads it): derive the query's 8
+    # subvectors from the embeddings view, recompute the full LUT
+    # against the persisted codebook with list_dot_product, join the
+    # persisted per-vector codes, sum, rank.  Any scoring/ranking
+    # drift between the engines breaks the value hash.
+    O["pq_ann_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cb AS (SELECT sub_id, code, centroid
+       FROM '/tmp/searchlite_entry/pq_current/codebook/*.parquet'),
+codes AS (SELECT vec_id, codes
+          FROM '/tmp/searchlite_entry/pq_current/codes/*.parquet'),
+lut AS (
+  SELECT cb.sub_id, cb.code,
+         list_dot_product(
+           CAST(cb.centroid AS DOUBLE[]),
+           list_slice(q.qv, cb.sub_id * 8 + 1, cb.sub_id * 8 + 8)
+         ) AS p
+  FROM cb CROSS JOIN q
+),
+ex AS (
+  SELECT c.vec_id, t.r AS sub_id, list_extract(c.codes, t.r + 1) AS code
+  FROM codes c, range(8) t(r)
+),
+scored AS (
+  SELECT ex.vec_id, SUM(lut.p) AS score
+  FROM ex JOIN lut ON ex.sub_id = lut.sub_id AND ex.code = lut.code
+  GROUP BY ex.vec_id
+)
+SELECT vec_id, round(score, 4) AS score_r FROM scored
+ORDER BY score DESC, vec_id ASC LIMIT 10"""
 
     # ivf_ann_topk: same construction as lsh_ann_topk with copies at
     # 2000000+ — IVF's exact-copy guarantee (identical query->centroid

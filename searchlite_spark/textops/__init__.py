@@ -49,3 +49,11 @@ from searchlite_spark.textops.extract import (  # noqa: F401
     extract_text_col,
     verify_extraction,
 )
+from searchlite_spark.textops.pq import (  # noqa: F401
+    pq_encode,
+    pq_index_build,
+    pq_index_search,
+    pq_lut,
+    pq_topk,
+    pq_train,
+)
