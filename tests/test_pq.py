@@ -150,3 +150,44 @@ def test_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, m=2, n_codes=2, iters=1, sample_size=None)
+
+
+def test_ivfpq_composition(spark, pq_setup):
+    """The canonical IVF-PQ layout from the existing public pieces:
+    ivf_assign partitions the corpus into cells, pq_encode compresses
+    within, and a query ADC-scans ONLY the probed cells' codes.  The
+    composed result must equal plain ADC restricted to those cells
+    (same scoring, smaller candidate set), and the probed candidate
+    pool must actually shrink."""
+    from pyspark.sql import functions as F
+
+    from searchlite_spark.textops import ivf_assign, ivf_train, pq_topk
+    from searchlite_spark.textops.similarity import _probe_cells
+
+    rows, df, cb, cb_rows, codes = pq_setup
+    centroids = ivf_train(df, k_lists=8, iters=3, sample_size=None)
+    assigned = ivf_assign(df, centroids).select("vec_id", "list_id")
+    codes_cells = codes.join(assigned, "vec_id")
+
+    q = rows[17][1]
+    probes = _probe_cells(q, centroids, nprobe=2)
+    pool = codes_cells.where(F.col("list_id").isin(probes)).drop("list_id")
+    n_pool = pool.count()
+    assert 0 < n_pool < len(rows)  # really pruned
+
+    got = [
+        (int(r["vec_id"]), round(r["score"], 9))
+        for r in pq_topk(pool, cb, q, k=10).collect()
+    ]
+    want = [
+        (int(r["vec_id"]), round(r["score"], 9))
+        for r in pq_topk(codes, cb, q, k=10).collect()
+        if int(r["vec_id"]) in {int(x["vec_id"]) for x in pool.collect()}
+    ]
+    # composed == unrestricted ADC filtered to the probed cells
+    assert got[: len(want)] == want[: len(got)]
+    # the query's own vector sits in the first probe cell, so the ADC
+    # winner over the probed cells matches the global ADC winner
+    global_top = pq_topk(codes, cb, q, k=1).collect()[0]
+    if int(global_top["vec_id"]) in {v for v, _ in got}:
+        assert got[0][0] == int(global_top["vec_id"])
