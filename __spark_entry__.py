@@ -1989,7 +1989,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # watermark-exact close (stream_sessions), dedup.py's \E-safe
     # line_sep quoting (line_dedup_boilerplate), and the f32
     # default-sort fix (every BM25 top-k row; bm25_topk + the WAND/BMW
-    # kernel variants kept per the standing kernel rule).
+    # kernel variants kept per the standing kernel rule).  The TWO new
+    # round-6 operators enter in-window: batch_bm25_topk (query/
+    # batch.py — batched multi-query execution) and pq_ann_topk
+    # (textops/pq.py — product quantization ADC), paid for by
+    # deferring bm25_single_term_bmw and quantized_cosine_topk, both
+    # green in r05 AND re-verified externally at sf0.01+sf1 this round
+    # (see the inline notes below).
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
         # -- BM25/search long tail: engine changes are covered in-window
