@@ -112,6 +112,10 @@ def batch_topk(
     ordered within each query exactly like the single-query engine
     (f32 score desc, doc_id asc).  Queries with no matching terms
     simply produce no rows (same as an empty single-query result).
+    A member's own ``limit`` overrides ``k`` for that query (the rank
+    window still runs at the batch maximum — a LITERAL, so Catalyst's
+    WindowGroupLimit pushdown stays engaged — with a per-query filter
+    on top).
     """
     if isinstance(requests, dict):
         items = list(requests.items())
@@ -124,6 +128,12 @@ def batch_topk(
 
     spark = searcher.spark
     per_query = {qid: _weighted_terms(searcher, req) for qid, req in items}
+    # limit <= 0 never reaches here: validate_request (called per
+    # member above) already rejects it
+    k_by_query = {
+        str(qid): int(req.get("limit", k)) for qid, req in items
+    }
+    max_k = max(k_by_query.values())
 
     all_keys = sorted({key for wt in per_query.values() for key in wt})
     if not all_keys:
@@ -196,8 +206,12 @@ def batch_topk(
         F.col("doc_id").asc(),
     ]
     w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= max_k  # literal -> WindowGroupLimit stays on
     )
+    if len(set(k_by_query.values())) > 1:
+        k_map = F.create_map(
+            *[x for qid, kq in k_by_query.items() for x in (F.lit(qid), F.lit(kq))]
+        )
+        ranked = ranked.where(F.col("rank") <= k_map[F.col("query_id")])
+    return ranked.select("query_id", "doc_id", "score", "rank")

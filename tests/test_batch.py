@@ -233,3 +233,31 @@ def test_batch_validates_request_contract(batch_searcher):
         batch_topk(
             batch_searcher, {"q": {"query": "rust", "rescor": {}}}, k=3
         )
+
+
+def test_batch_per_request_limit(batch_searcher):
+    """A member's own `limit` overrides the batch k — and mixed limits
+    still match the single-query results per query."""
+    from searchlite_spark.query import batch_topk
+
+    reqs = {
+        "small": {"query": "rust", "limit": 3},
+        "big": {"query": "search", "limit": 12},
+        "default": {"query": "engine"},
+    }
+    got = _by_query(batch_topk(batch_searcher, reqs, k=5).collect())
+    assert len(got["small"]) == 3
+    assert len(got["big"]) == 12
+    assert len(got["default"]) == 5
+    for qid, n in (("small", 3), ("big", 12), ("default", 5)):
+        single = [
+            (r["doc_id"], r["score"])
+            for r in batch_searcher.topk(
+                {"query": reqs[qid]["query"], "limit": n}
+            ).collect()
+        ]
+        assert [(r["doc_id"], r["score"]) for r in got[qid]] == pytest.approx(single)
+    from searchlite_spark.query.validate import RequestValidationError
+
+    with pytest.raises(RequestValidationError, match="limit"):
+        batch_topk(batch_searcher, {"q": {"query": "rust", "limit": 0}}, k=5)
