@@ -66,6 +66,7 @@ def append_documents(
     num_partitions: int | None = None,
     id_mode: str = "assign",
     lineage_extra: dict | None = None,
+    manifest_extra: dict | None = None,
 ) -> Index:
     """Append ``corpus`` to ``index`` in place; returns a fresh Index
     handle (re-open Searchers to see the new snapshot).
@@ -76,7 +77,12 @@ def append_documents(
     (checked — overlapping ids would corrupt postings merges).
     lineage_extra: merged into the manifest lineage in the SAME atomic
     write as the stats — callers (streaming) use it to record a commit
-    tag that cannot be separated from the commit itself."""
+    tag that cannot be separated from the commit itself.
+    manifest_extra: merged into the manifest TOP LEVEL in that same
+    atomic write — IndexWriter.commit uses it to flip the
+    ``tombstones_dir`` pointer together with the append, so upsert
+    deletes and their replacement docs become visible in one commit
+    (the reference's single manifest store, api/writer.rs:196-207)."""
     from pyspark import StorageLevel
 
     t0 = time.time()
@@ -223,6 +229,8 @@ def append_documents(
     if lineage_extra:
         lineage.update(lineage_extra)
     manifest["lineage"] = lineage
+    if manifest_extra:
+        manifest.update(manifest_extra)
     write_manifest(path, manifest)
     # GC: the superseded dictionary version (and any version orphaned by
     # an earlier crash between commit and cleanup).  Post-commit and

@@ -78,9 +78,22 @@ class Index:
         return os.path.isdir(os.path.join(self.path, "blocks"))
 
     def tombstones(self) -> DataFrame:
+        # like the term dictionary, the tombstone set is versioned
+        # through the manifest (the reference keeps deleted_docs INSIDE
+        # the manifest's segment metas, manifest.rs SegmentMeta): a
+        # delete writes a fresh full set to tombstones_v<uuid> and the
+        # pointer commits in one atomic manifest write, so readers see
+        # deletes-with-their-adds or neither — an orphan set from a
+        # crashed writer commit is invisible.  Legacy layout (plain
+        # "tombstones" dir, no pointer) stays readable.
+        d = self.manifest.get("tombstones_dir")
+        if d:
+            return self.spark.read.parquet(os.path.join(self.path, d))
         return self.spark.read.parquet(os.path.join(self.path, "tombstones"))
 
     def has_tombstones(self) -> bool:
+        if self.manifest.get("tombstones_dir"):
+            return True
         return os.path.isdir(os.path.join(self.path, "tombstones"))
 
 

@@ -64,6 +64,72 @@ def compact(
 MAX_TOMBSTONES = 1_000_000
 
 
+def stage_tombstone_set(
+    spark: SparkSession, index: Index, doc_ids: list[int]
+) -> tuple[str | None, int]:
+    """Write the NEW full tombstone set (existing ∪ ``doc_ids``) to a
+    fresh versioned dir ``tombstones_v<uuid>`` under the index path,
+    WITHOUT touching the manifest — the staged set stays invisible
+    until a caller commits the ``tombstones_dir`` pointer (the
+    reference's model exactly: deleted_docs live inside the manifest,
+    api/writer.rs:152-162 merge then one atomic manifest store).
+
+    Returns ``(dirname, total)``; ``(None, existing)`` when every id is
+    already tombstoned (nothing to commit).  Callers: tombstone_delete
+    commits the pointer itself; IndexWriter.commit passes it into the
+    SAME atomic manifest write as its document append."""
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        existing = (
+            index.tombstones().select("doc_id").distinct().count()
+            if index.has_tombstones()
+            else 0
+        )
+        return None, existing
+    new_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    existing = 0
+    full = new_df
+    if index.has_tombstones():
+        # dedupe against what's already recorded (idempotent retries
+        # must not inflate the cap) — one distributed anti-join, no
+        # driver roundtrip of the existing set
+        tomb = index.tombstones().select("doc_id").distinct()
+        existing = tomb.count()
+        new_df = new_df.join(tomb, "doc_id", "left_anti")
+        full = tomb.unionByName(new_df)
+    n_new = new_df.count()
+    if existing + n_new > MAX_TOMBSTONES:
+        raise ValueError(
+            f"tombstone set would exceed {MAX_TOMBSTONES}; run compact() "
+            "to fold tombstones into a rewrite first"
+        )
+    if n_new == 0:
+        return None, existing
+    import uuid as _uuid
+
+    dirname = f"tombstones_v{_uuid.uuid4().hex}"
+    # the full set is rewritten per delete batch — capped at
+    # MAX_TOMBSTONES longs (~8 MB), so the copy is trivial and buys
+    # single-pointer snapshot reads (no file-list bookkeeping)
+    full.coalesce(1).write.parquet(f"{index.path}/{dirname}")
+    return dirname, existing + n_new
+
+
+def gc_tombstone_dirs(path: str, keep: str | None) -> None:
+    """Post-commit GC of superseded / orphaned tombstone sets (same
+    best-effort contract as the terms_v* GC in append_documents:
+    in-process readers holding the old snapshot should re-open)."""
+    import os
+    import shutil
+
+    for name in os.listdir(path):
+        stale = (
+            name == "tombstones" or name.startswith("tombstones_v")
+        ) and name != keep
+        if stale:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def tombstone_delete(
     spark: SparkSession, index: Index, doc_ids: list[int]
 ) -> Index:
@@ -75,41 +141,23 @@ def tombstone_delete(
     avgdl.  Same contract here: searches never return tombstoned docs,
     but BM25 statistics stay those of the last build/compact — run
     ``compact`` to reconcile stats and reclaim space.  Cost: one tiny
-    parquet append, independent of corpus size.
+    versioned parquet write, independent of corpus size.
 
     Bumps the manifest build_id so open cursors go stale."""
     import uuid as _uuid
 
     index = Index(path=index.path, spark=spark)  # fresh manifest view
-    ids = sorted({int(i) for i in doc_ids})
-    if not ids:
+    dirname, total = stage_tombstone_set(spark, index, doc_ids)
+    if dirname is None:
         return Index(path=index.path, spark=spark)
-    new_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
-    existing = 0
-    if index.has_tombstones():
-        # dedupe against what's already recorded (idempotent retries
-        # must not inflate the cap) — one distributed anti-join, no
-        # driver roundtrip of the existing set
-        tomb = index.tombstones().select("doc_id")
-        existing = tomb.distinct().count()
-        new_df = new_df.join(tomb, "doc_id", "left_anti")
-    n_new = new_df.count()
-    if existing + n_new > MAX_TOMBSTONES:
-        raise ValueError(
-            f"tombstone set would exceed {MAX_TOMBSTONES}; run compact() "
-            "to fold tombstones into a rewrite first"
-        )
-    if n_new == 0:
-        return Index(path=index.path, spark=spark)
-    new_df.coalesce(1).write.mode("append").parquet(
-        f"{index.path}/tombstones"
-    )
     manifest = dict(index.manifest)
+    manifest["tombstones_dir"] = dirname
     lineage = dict(manifest.get("lineage") or {})
     lineage["build_id"] = _uuid.uuid4().hex
-    lineage["tombstones"] = existing + n_new
+    lineage["tombstones"] = total
     manifest["lineage"] = lineage
     write_manifest(index.path, manifest)
+    gc_tombstone_dirs(index.path, keep=dirname)
     return Index(path=index.path, spark=spark)
 
 
@@ -253,6 +301,8 @@ def _rewrite(
     # the rewrite wrote a fresh dictionary at <out>/terms; don't carry a
     # stale terms_v* pointer from the source manifest
     manifest["terms_dir"] = "terms"
+    # tombstones were folded into the rewrite — the output has none
+    manifest.pop("tombstones_dir", None)
     manifest.setdefault("lineage", {})
     lineage = dict(
         manifest["lineage"],
