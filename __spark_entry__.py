@@ -1783,6 +1783,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _SEARCHERS[key] = Searcher(Index(out, spark))
         return _topk(_SEARCHERS[key], {"query": "merge sort"})
 
+    def writer_txn_bm25(spark, sf_dir):
+        """Transactional IndexWriter (api/writer.rs): ONE txn buffers
+        add-new + overwrite + delete + delete-then-re-add ops in the
+        WAL, commit folds them last-op-wins (writer.rs:127-150) and
+        flips a single manifest (tombstoned old versions + appended
+        replacements visible together, writer.rs:196-207), compact
+        reconciles stats — so the oracle is plain BM25 over the folded
+        corpus: green row == writer txn + compact ≡ fresh build over
+        the fold.  Keys are uid = printf('u%012d', doc_id), so key
+        order == id order and the fold is replayable in static SQL."""
+        from searchlite_spark.index import (
+            IndexSchema,
+            IndexWriter,
+            TextField,
+            build_index,
+        )
+        from searchlite_spark.index.catalog import Index
+        from searchlite_spark.index.maintenance import compact
+        from searchlite_spark.query import Searcher
+
+        key = sf_dir + "#wtx"
+        if key not in _SEARCHERS:
+            out = _index_dir(sf_dir) + "_wtx"
+            outc = out + "_c"
+            if not os.path.exists(os.path.join(outc, "manifest.json")):
+                docs = _docs(spark, sf_dir).select(
+                    F.format_string("u%012d", F.col("doc_id")).alias("uid"),
+                    "doc_id",
+                    "text",
+                )
+                mx = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+                split = int(mx * 4 // 5)
+                schema = IndexSchema(
+                    doc_id_field="uid", text_fields=(TextField("text"),)
+                )
+                build_index(
+                    spark,
+                    docs.where(F.col("doc_id") <= split).select("uid", "text"),
+                    schema,
+                    out,
+                )
+                with IndexWriter(spark, out) as w:
+                    # op 0: the remaining 20% as new docs
+                    w.add_documents(
+                        docs.where(F.col("doc_id") > split).select(
+                            "uid", "text"
+                        )
+                    )
+                    # op 1: overwrite every 97th doc (base AND op-0 docs)
+                    w.add_documents(
+                        docs.where(F.col("doc_id") % 97 == 0).select(
+                            "uid",
+                            F.lit(
+                                "writer transaction probe document rewrite"
+                            ).alias("text"),
+                        )
+                    )
+                    # op 2: delete every 101st doc (incl. some op-1 keys)
+                    w.delete_documents(
+                        [
+                            r["uid"]
+                            for r in docs.where(F.col("doc_id") % 101 == 0)
+                            .select("uid")
+                            .collect()
+                        ]
+                    )
+                    # op 3: re-add every 202nd (deleted above -> lives)
+                    w.add_documents(
+                        docs.where(F.col("doc_id") % 202 == 0).select(
+                            "uid",
+                            F.lit(
+                                "writer transaction reborn document probe"
+                            ).alias("text"),
+                        )
+                    )
+                    w.commit()
+                compact(spark, out, outc)
+            _SEARCHERS[key] = Searcher(Index(outc, spark))
+        s = _SEARCHERS[key]
+        m = s.match_set({"query": "probe document rewrite"})
+        top = m.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+        return top.join(
+            s.index.docs().select("doc_id", "uid"), "doc_id"
+        ).select("uid", F.round("score", 4).alias("score_r"))
+
     def search_after_sorted(spark, sf_dir):
         """Sorted-path keyset pagination: page 2 resumes from page 1's
         (sort key, doc_id) cursor (reader.rs:614-901 sort cursors)."""
@@ -1940,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         maintenance_roundtrip=maintenance_roundtrip,
         append_bm25=append_bm25,
         tombstone_bm25=tombstone_bm25,
+        writer_txn_bm25=writer_txn_bm25,
         stream_append_bm25=stream_append_bm25,
         stream_windowed_counts=stream_windowed_counts,
         stream_sessions=stream_sessions,
@@ -1995,7 +2081,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (textops/pq.py — product quantization ADC), paid for by
     # deferring bm25_single_term_bmw and quantized_cosine_topk, both
     # green in r05 AND re-verified externally at sf0.01+sf1 this round
-    # (see the inline notes below).
+    # (see the inline notes below).  Round-6 session 2: the THIRD new
+    # operator writer_txn_bm25 (index/writer.py — transactional
+    # IndexWriter) enters in-window, and tombstone_bm25 RETURNS because
+    # tombstone_delete was rewritten (manifest-gated versioned set,
+    # maintenance.py) — paid for by deferring lsh_ann_topk and
+    # cosine_near_dups, both green r05, paths untouched, re-verified at
+    # sf0.01+sf1 this session (inline notes below).
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
         # -- BM25/search long tail: engine changes are covered in-window
@@ -2036,9 +2128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    sessionize (NEW stream_sessions row in-window); append_bm25
         #    stays in-window for the family
         "delete_rebuild_bm25",   # append_bm25 in-window (same manifest swap)
-        "maintenance_roundtrip", # append_bm25 in-window (compaction sibling)
-        "tombstone_bm25",        # append_bm25 in-window; kernel cogroup path
-                                 # unchanged since 40f94ac
+        "maintenance_roundtrip", # append_bm25 in-window (compaction sibling);
+                                 # the r06 _rewrite change (drop the
+                                 # tombstones_dir pointer from the out
+                                 # manifest) is exercised in-window by
+                                 # writer_txn_bm25's compact-with-tombstones
+        # tombstone_bm25 RETURNS to the window: tombstone_delete was
+        # rewritten this round (manifest-gated versioned set) and the
+        # engine's tombstone read path now goes through the pointer
         "stream_append_bm25",    # green r05; streaming ingest untouched; the
                                  # NEW stream_sessions row keeps streaming.py
                                  # (the module that DID change) in-window
@@ -2053,6 +2150,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  # cosine + the NEW pq_ann_topk keep the
                                  # vector family 5-deep in-window —
                                  # deferred to make room for pq_ann_topk
+        "lsh_ann_topk",          # green r05 AND re-verified at sf0.01+sf1
+                                 # this round; hyperplane-LSH path untouched
+                                 # in r06 (16494db changed only ivf_* fns);
+                                 # ann_cosine_topk + ivf rows + pq keep the
+                                 # ANN family 4-deep in-window — deferred to
+                                 # make room for the NEW writer_txn_bm25 row
+        "cosine_near_dups",      # green r05 AND re-verified at sf0.01+sf1
+                                 # this round; cosine_near_pairs untouched in
+                                 # r06 — deferred to bring tombstone_bm25
+                                 # back in-window (tombstone path changed)
         "dedup_exact_survivors", # digest groupBy path untouched
         "langid",                # quality.py untouched; ngram_jaccard +
                                  # doc_fingerprint return for textops
@@ -2835,6 +2942,58 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
         " WHERE doc_id >= 10"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
+
+    # writer_txn_bm25: the writer txn's last-op-wins fold replayed as a
+    # static corpus CTE — op order (add-new, overwrite %97, delete %101,
+    # re-add %202) collapses to CASE (202 wins over 97: the re-add is
+    # the later op) + a visibility WHERE (deleted unless re-added);
+    # after compact the stats are plain recomputes over the fold, so
+    # the rest is the standard BM25 replay.  Tie safety at the LIMIT
+    # boundary: appended docs sort after base docs in the engine
+    # (internal ids) and ALSO in uid order for the only cross-group tie
+    # candidates (natural >split docs, whose uids exceed every base
+    # uid); planted docs tie only each other and share uid==id order.
+    O["writer_txn_bm25"] = """
+WITH corpus AS (
+  SELECT printf('u%012d', doc_id) AS uid, doc_id,
+         CASE WHEN doc_id % 202 = 0 THEN 'writer transaction reborn document probe'
+              WHEN doc_id % 97 = 0 THEN 'writer transaction probe document rewrite'
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 101 <> 0 OR doc_id % 202 = 0
+),
+tok AS (
+  SELECT c.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM corpus c, unnest(string_split(c.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY c.doc_id, t.tok
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (
+  SELECT (SELECT count(*) FROM corpus)::DOUBLE AS n,
+         CAST(CAST((SELECT sum(dl) FROM dl) AS FLOAT)
+              / CAST((SELECT count(*) FROM corpus) AS FLOAT) AS DOUBLE) AS avgdl
+),
+q(tok) AS (VALUES ('probe'),('document'),('rewrite')),
+dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tok
+        WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+scored AS (
+  SELECT tok.doc_id,
+         SUM( (greatest(ln((st.n - dfq.df + 0.5)/(dfq.df + 0.5)), 0.0) + 1.0)
+              * (tok.tf * (0.9 + 1.0))
+              / greatest(tok.tf + 0.9 * (1.0 - 0.4 + 0.4 * (dl.dl / st.avgdl)), 1e-6)
+         ) AS score
+  FROM tok
+  JOIN q ON tok.tok = q.tok
+  JOIN dfq ON tok.tok = dfq.tok
+  JOIN dl ON tok.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY tok.doc_id
+)
+SELECT c.uid, round(s.score, 4) AS score_r
+FROM scored s JOIN corpus c ON c.doc_id = s.doc_id
+ORDER BY s.score DESC, c.uid ASC LIMIT 10
+"""
 
     # index_stats: every manifest/term-dictionary number recomputed
     # from the raw corpus (same split idiom as the BM25 oracles;
