@@ -239,7 +239,9 @@ class Searcher:
                 -F.col("score").cast("float"),
                 F.col("doc_id"),
             ]
-            if not request.get("collapse"):
+            if not request.get("collapse") and not request.get("explain"):
+                # explain needs window membership per returned hit (the
+                # rescore breakdown attaches only to re-scored hits)
                 ordered = ordered.drop("_win")
         inner_df = None
         collapse = request.get("collapse")
@@ -260,7 +262,12 @@ class Searcher:
             # collapse query even when the caller never reads it
             if tth is not False:
                 resp["total_groups"] = reps.count()
-            drop_cols = [c for c in ("_win", "_gpos") if c in reps.columns]
+            keep_win = ("_win",) if request.get("explain") else ()
+            drop_cols = [
+                c
+                for c in ("_win", "_gpos")
+                if c in reps.columns and c not in keep_win
+            ]
             if group_order_exprs is not None:
                 ordered = reps.orderBy(
                     F.col("_gpos").asc(), F.col("doc_id").asc()
@@ -332,11 +339,14 @@ class Searcher:
         for r in rows:
             d = {k: v for k, v in r.items() if not k.startswith("_sk_")}
             ckey = d.pop("_ckey", None)
+            win = d.pop("_win", None)
             hit = {
                 "doc_id": d.pop("doc_id"),
                 "score": d.pop("score", None),
                 "fields": d,
             }
+            if win is not None:
+                hit["_rescore_win"] = bool(win)
             if ckey is not None:
                 hit["collapse_key"] = ckey
                 if inner_map:
@@ -486,12 +496,15 @@ class Searcher:
             resp["suggest"] = out
         return resp
 
-    def _attach_explanations(self, request, hits) -> None:
-        """Minimal explain parity (reference: tests/function_score.rs
-        explain asserts): per hit, report each function_score function's
-        evaluated value (NULL = inactive) plus the combine modes.  One
-        bounded job over the returned ids only."""
-        plan, _ = build_query_plan(request, self.schema)
+    def _function_explanations(self, query, ids) -> dict[int, list[dict]]:
+        """doc_id -> [FunctionExplanation] for every function_score
+        function in ``query``'s plan that EVALUATED for the doc
+        (reader.rs:389-414 describe_function: type + value + field;
+        inactive functions — unmatched filter, missing field — are
+        omitted, matching tests/function_score.rs:189-226 where the
+        non-matching doc has an EMPTY functions list).  One bounded job
+        over the returned ids only; {} when the plan has no functions."""
+        plan, _ = build_query_plan({"query": query}, self.schema)
         fs_nodes: list[P.SNFunctionScore] = []
 
         def walk(node):
@@ -505,49 +518,114 @@ class Searcher:
                     walk(c)
 
         walk(plan.score_node)
-        base_expl = {"description": "sum of per-term BM25 contributions"}
         if not fs_nodes:
-            for h in hits:
-                h["explanation"] = {
-                    "value": h.get("score"),
-                    "details": [base_expl],
-                }
-            return
+            return {}
         from searchlite_spark.query.scoring import _function_col
 
-        ids = [h["doc_id"] for h in hits]
         docs = self.docs.where(F.col("doc_id").isin(ids))
         cols, labels = [], []
         for ni, node in enumerate(fs_nodes):
             for fi, spec in enumerate(node.functions):
                 cols.append(_function_col(spec, docs).alias(f"_f_{ni}_{fi}"))
-                labels.append((ni, fi, spec.get("type")))
-        vals = {
-            r["doc_id"]: r
-            for r in docs.select("doc_id", *cols).collect()
-        }
+                labels.append((f"_f_{ni}_{fi}", spec))
+        out: dict[int, list[dict]] = {}
+        for r in docs.select("doc_id", *cols).collect():
+            fns = []
+            for col, spec in labels:
+                val = r[col]
+                if val is None:
+                    continue  # inactive for this doc — omitted
+                d = {"type": spec.get("type"), "value": float(val)}
+                if spec.get("field"):
+                    d["field"] = spec["field"]
+                fns.append(d)
+            out[r["doc_id"]] = fns
+        return out
+
+    @staticmethod
+    def _unwrap_score_mutators(query):
+        """The query with top-level function_score / script_score
+        wrappers peeled off — its score is the reference's
+        ``base_score`` (the score-plan combination before function and
+        script application, reader.rs:3058-3062)."""
+        changed = False
+        while (
+            isinstance(query, dict)
+            and query.get("type") in ("function_score", "script_score")
+            and query.get("query") is not None
+        ):
+            query = query["query"]
+            changed = True
+        return query, changed
+
+    def _attach_explanations(self, request, hits) -> None:
+        """Per-hit HitExplanation in the reference's wire shape
+        (reader.rs:90-97): ``base_score`` (before function/script/
+        rescore), ``functions`` (only the ones that evaluated, omitted
+        when empty — serde skip_serializing_if), optional ``rescore``
+        (rescore_score + combined_score + the rescore query's function
+        details, reader.rs:3366-3382; attached only to hits the rescore
+        window actually re-scored), ``final_score``.  Every job here
+        filters to the <=limit returned ids (isin pushdown)."""
+        ids = [h["doc_id"] for h in hits]
+
+        base_q, wrapped = self._unwrap_score_mutators(request.get("query"))
+        base_map: dict[int, float] = {}
+        if wrapped or request.get("rescore"):
+            base_req = {"query": base_q}
+            if request.get("fuzzy"):
+                base_req["fuzzy"] = request["fuzzy"]
+            ids_df = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id LONG"
+            )
+            base_map = {
+                r["doc_id"]: float(r["score"])
+                for r in self._matched_scored(
+                    base_req, doc_subset=ids_df
+                ).collect()
+            }
+
+        fn_map = self._function_explanations(request.get("query"), ids)
+
+        resc_req = request.get("rescore")
+        rs_map: dict[int, float] = {}
+        rs_fn_map: dict[int, list[dict]] = {}
+        if resc_req:
+            ids_df = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id LONG"
+            )
+            rs_map = {
+                r["doc_id"]: float(r["score"])
+                for r in self._matched_scored(
+                    {"query": resc_req["query"]}, doc_subset=ids_df
+                ).collect()
+            }
+            rs_fn_map = self._function_explanations(resc_req["query"], ids)
+
         for h in hits:
-            row = vals.get(h["doc_id"])
-            details = [base_expl]
-            for ni, node in enumerate(fs_nodes):
-                details.append(
-                    {
-                        "description": "function_score",
-                        "score_mode": node.score_mode,
-                        "boost_mode": node.boost_mode,
-                        "functions": [
-                            {
-                                "type": kind,
-                                "value": (
-                                    row[f"_f_{ni}_{fi}"] if row is not None else None
-                                ),
-                            }
-                            for (nj, fi, kind) in labels
-                            if nj == ni
-                        ],
-                    }
-                )
-            h["explanation"] = {"value": h.get("score"), "details": details}
+            did = h["doc_id"]
+            final = h.get("score")
+            in_window = h.pop("_rescore_win", None)
+            expl = {
+                "base_score": base_map.get(did, final),
+                "final_score": final,
+            }
+            fns = fn_map.get(did) or []
+            if fns:
+                expl["functions"] = fns
+            # only hits the rescore window re-scored carry the rescore
+            # breakdown (reader.rs:3364-3382); _win is threaded through
+            # materialization when explain is on
+            if resc_req and in_window and did in rs_map:
+                resc = {
+                    "rescore_score": rs_map[did],
+                    "combined_score": final,
+                }
+                rfns = rs_fn_map.get(did) or []
+                if rfns:
+                    resc["functions"] = rfns
+                expl["rescore"] = resc
+            h["explanation"] = expl
 
     def _highlight_inputs(self, request):
         """Per-field query tokens and phrase buckets for highlighting

@@ -85,21 +85,67 @@ def test_explain_function_score(s):
     resp = s.search(req)
     for h in resp["hits"]:
         expl = h["explanation"]
-        assert expl["value"] == h["score"]
-        fs = [d for d in expl["details"] if d.get("description") == "function_score"]
-        assert len(fs) == 1
-        assert fs[0]["score_mode"] == "sum"
-        assert fs[0]["boost_mode"] == "multiply"
-        kinds = [f["type"] for f in fs[0]["functions"]]
-        assert kinds == ["field_value_factor", "weight"]
-        fvf = fs[0]["functions"][0]["value"]
-        assert fvf is not None and fvf >= 0.0
+        # HitExplanation wire shape (reader.rs:90-97)
+        assert expl["final_score"] == h["score"]
+        # base = the term query's BM25 score, before functions
+        assert 0.0 < expl["base_score"] != expl["final_score"]
+        kinds = [f["type"] for f in expl["functions"]]
+        # fvf applies to every doc; the weight function only where its
+        # lang=en filter matches (tests/function_score.rs:189-226:
+        # inactive functions are OMITTED, not null-valued)
+        assert kinds[0] == "field_value_factor"
+        assert expl["functions"][0]["field"] == "rank"
+        assert expl["functions"][0]["value"] >= 0.0
+        if h["fields"]["lang"] == "en":
+            assert kinds == ["field_value_factor", "weight"]
+        else:
+            assert kinds == ["field_value_factor"]
+        assert "rescore" not in expl
 
 
 def test_explain_plain_query(s):
     resp = s.search({"query": "alpha", "limit": 2, "explain": True})
     for h in resp["hits"]:
-        assert h["explanation"]["value"] == h["score"]
+        expl = h["explanation"]
+        assert expl["final_score"] == h["score"]
+        assert expl["base_score"] == h["score"]
+        assert "functions" not in expl  # empty => omitted (serde skip)
+        assert "rescore" not in expl
+
+
+def test_explain_rescore_breakdown(s):
+    """Window hits matching the rescore query carry a RescoreExplanation
+    (reader.rs:3364-3382): rescore_score + combined_score; hits outside
+    the window (or not matching) have none."""
+    req = {
+        "query": "alpha",
+        "rescore": {
+            "query": "doc3 doc5",
+            "window_size": 4,
+            "score_mode": "total",
+        },
+        "limit": 10,
+        "explain": True,
+    }
+    resp = s.search(req)
+    with_resc = [
+        h for h in resp["hits"] if "rescore" in h["explanation"]
+    ]
+    # exactly the window hits that matched doc3/doc5
+    assert {h["doc_id"] for h in with_resc} <= {3, 5}
+    assert len(with_resc) >= 1
+    for h in with_resc:
+        expl = h["explanation"]
+        r = expl["rescore"]
+        assert r["combined_score"] == h["score"]
+        # total mode: combined = base + rescore
+        assert abs(
+            (expl["base_score"] + r["rescore_score"]) - h["score"]
+        ) < 1e-5
+    for h in resp["hits"]:
+        assert "_rescore_win" not in h  # internal flag never leaks
+        if "rescore" not in h["explanation"]:
+            assert h["explanation"]["base_score"] == h["score"]
 
 
 def test_cursor_generation_accepted_and_stale_rejected(s, spark, tmp_path_factory):
