@@ -89,6 +89,48 @@ def _searcher_mm(spark: SparkSession, sf_dir: str):
     return s
 
 
+def _searcher_nopos(spark: SparkSession, sf_dir: str):
+    """Index built with enable_positions=False (the reference's
+    IndexOptions, api/types.rs:19): NULL positions column, identical
+    tf/dl/BM25, phrases match nothing (phrase.rs:16-18)."""
+    import json
+
+    from searchlite_spark.index import (
+        IndexSchema,
+        KeywordField,
+        NumericField,
+        TextField,
+        build_index,
+    )
+    from searchlite_spark.index.catalog import Index
+    from searchlite_spark.query import Searcher
+
+    key = sf_dir + "#nopos"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    out = _index_dir(sf_dir) + "_nopos"
+    schema = IndexSchema(
+        doc_id_field="doc_id",
+        text_fields=(TextField("text"),),
+        keyword_fields=(KeywordField("lang"), KeywordField("source")),
+        numeric_fields=(NumericField("n_chars"),),
+    )
+    manifest_p = os.path.join(out, "manifest.json")
+    fresh = True
+    if os.path.exists(manifest_p):
+        with open(manifest_p) as f:
+            opts = json.load(f).get("options", {})
+        fresh = opts.get("enable_positions", True) is not False
+    if fresh:
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(
+            spark, corpus, schema, out, id_mode="column", enable_positions=False
+        )
+    s = Searcher(Index(out, spark))
+    _SEARCHERS[key] = s
+    return s
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -258,6 +300,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = s.match_set({"query": '"fast key"'})
         return m.select("doc_id").orderBy("doc_id")
 
+    def positionless_bm25(spark, sf_dir):
+        """BM25 over an enable_positions=false index (api/types.rs:19,
+        segment.rs:569-585): positions are NULL on disk, yet tf/dl/
+        avgdl — and therefore ranking and scores — must be identical
+        to a positioned build.  The oracle replays plain BM25, so a
+        hash-match proves the positions=False tokenize kernels
+        (index/build.py) drop ONLY the position lists.  The phrase
+        side of the contract (matches nothing, phrase.rs:16-18) is
+        pytest-pinned in test_positionless.py."""
+        s = _searcher_nopos(spark, sf_dir)
+        return _topk(s, {"query": "scan filter column"})
+
     def match_sorted(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         m = s.match_set({"query": "vector"})
@@ -339,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bm25_range_filter=bm25_range_filter,
         prefix_expand=prefix_expand,
         phrase_match=phrase_match,
+        positionless_bm25=positionless_bm25,
         match_sorted=match_sorted,
     )
 
@@ -2088,6 +2143,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # maintenance.py) — paid for by deferring lsh_ann_topk and
     # cosine_near_dups, both green r05, paths untouched, re-verified at
     # sf0.01+sf1 this session (inline notes below).
+    # Round-6 session 3: the enable_positions=false build option lands
+    # (index/build.py kernels + manifest option + engine coalesce), so
+    # (a) the NEW positionless_bm25 row enters in-window and (b)
+    # phrase_match RETURNS — the phrase candidate select changed (NULL
+    # positions now coalesce to [] for the empty-positions contract),
+    # so its "path untouched" deferral justification no longer holds.
+    # Paid for by deferring bm25_topk_wand and ivf_ann_topk, both green
+    # r05 and re-verified at sf0.01+sf1 this session (notes below).
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
         # -- BM25/search long tail: engine changes are covered in-window
@@ -2105,9 +2168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  # room for the NEW batch_bm25_topk row
         "bm25_negation",         # bm25_bool_must returns (same anti-join matcher)
         "bm25_range_filter",     # bm25_filter_lang + nested_filter_same_obj return
-        "phrase_match",          # green r05; position-join path untouched this
-                                 # round (no engine.py change reaches the n-way
-                                 # position join); bm25 family in-window
+        "bm25_topk_wand",        # green r05 AND re-verified at sf0.01+sf1 this
+                                 # session; wand.py/blocks.py/codec.py untouched
+                                 # in r06 (the standing kernel rule binds only
+                                 # when they change) and bm25_topk_bmw stays
+                                 # in-window exercising the same wand.py kernel
+                                 # superset (block-max skip + θ seeding) —
+                                 # deferred so phrase_match can RETURN (its
+                                 # candidate select changed this session)
         "script_score",          # function_score_fvf returns (same custom-score
                                  # hook region); script.py untouched
         "rank_feature_nchars",   # function_score_fvf + constant_score_filter return
@@ -2144,6 +2212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- dedup/quality pipeline: dedup.py's only change this round is
         #    the \E-safe quoting (line_dedup_boilerplate KEPT in-window);
         #    quality.py/webclean.py/transform.py untouched, all green r05
+        "ivf_ann_topk",          # green r05 AND re-verified at sf0.01+sf1 this
+                                 # session; the r06 large-k routing change
+                                 # (16494db) is exercised in-window by
+                                 # ivf_index_search, which runs the SAME
+                                 # train/assign path and adds the persisted
+                                 # probe — deferred to admit the NEW
+                                 # positionless_bm25 row
         "quantized_cosine_topk", # green r05 AND re-verified at sf0.01+sf1
                                  # THIS session; int8-quantization path
                                  # untouched in r06; cousins lsh/ivf/
@@ -2194,6 +2269,15 @@ def oracle_sql() -> dict[str, str]:
     )
     O["bm25_single_term"] = (
         _bm25_cte(["vector"])
+        + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
+        " ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+    # positionless index: positions are NULL on disk but BM25 inputs
+    # (tf/dl/avgdl) are unchanged -> the plain BM25 replay IS the
+    # oracle; a hash-match proves the positions=False kernel branch
+    # altered nothing but the position lists
+    O["positionless_bm25"] = (
+        _bm25_cte(["scan", "filter", "column"])
         + "SELECT doc_id, round(score, 4) AS score_r FROM scored"
         " ORDER BY score DESC, doc_id ASC LIMIT 10"
     )

@@ -148,8 +148,17 @@ def append_documents(
     if n_new == 0:
         return Index(path=path, spark=spark)
 
-    # ---- batch postings: same hash(term, doc-chunk) layout ----
-    postings_flat, _ = tokenize_postings_best(docs, schema)
+    # ---- batch postings: same hash(term, doc-chunk) layout; the
+    # positions option comes from the MANIFEST so appends to an
+    # enable_positions=false index stay positionless (the reference
+    # threads writer options from the shared IndexOptions the same way,
+    # api/writer.rs:172) ----
+    enable_positions = bool(
+        manifest.get("options", {}).get("enable_positions", True)
+    )
+    postings_flat, _ = tokenize_postings_best(
+        docs, schema, positions=enable_positions
+    )
     chunk_w = max(n_new // num_partitions, 1)
     salt = (F.col("doc_id") / F.lit(int(chunk_w))).cast("long")
     batch_postings = postings_flat.repartition(

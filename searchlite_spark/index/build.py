@@ -102,13 +102,19 @@ def assign_doc_ids(
     return out
 
 
-def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+def tokenize_postings(
+    docs: DataFrame, schema: IndexSchema, positions: bool = True
+) -> DataFrame:
     """docs(doc_id, <fields>) -> flat postings (doc_id, field, term, tf, positions).
 
     term keys are ``"{field}:{token}"`` like the reference
     (segment.rs:674-679).  Keywords are ASCII-lowercased and
     de-duplicated per doc, indexed at position 0 with no positions kept
-    (segment.rs:700-723).
+    (segment.rs:700-723).  positions=False (the reference's
+    enable_positions=false IndexOptions, index/mod.rs:225,
+    segment.rs:569-585) emits NULL position lists — tf/dl/BM25 are
+    unchanged, phrase queries match nothing (phrase.rs:16-18 empty-
+    positions contract).
     """
     text_fields = [(t.name, schema.index_analyzer_for(t.name)) for t in schema.text_fields]
     kw_fields = schema.keyword_field_names
@@ -145,7 +151,7 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                         out_field.append(fname)
                         out_term.append(prefix + tok)
                         out_tf.append(len(poss))
-                        out_pos.append(poss)
+                        out_pos.append(poss if positions else None)
                         out_dl.append(dl)
             for fname in kw_fields:
                 col = pdf[fname]
@@ -167,7 +173,7 @@ def tokenize_postings(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                         out_field.append(fname)
                         out_term.append(prefix + norm)
                         out_tf.append(1)
-                        out_pos.append([0])
+                        out_pos.append([0] if positions else None)
                         out_dl.append(0)  # keywords: avgdl=0 => norm=1
             yield pd.DataFrame(
                 {
@@ -235,9 +241,14 @@ def sql_tokenize_eligible(docs: DataFrame, schema: IndexSchema) -> bool:
     return True
 
 
-def _keyword_posting_rows_sql(docs: DataFrame, schema: IndexSchema) -> DataFrame | None:
+def _keyword_posting_rows_sql(
+    docs: DataFrame, schema: IndexSchema, positions: bool = True
+) -> DataFrame | None:
     """Keyword postings as pure column expressions: ASCII-lowercased,
-    de-duplicated per doc, tf=1 at position 0, dl=0 (segment.rs:700-723)."""
+    de-duplicated per doc, tf=1 at position 0, dl=0 (segment.rs:700-723).
+    positions=False writes NULL like the text rows (the reference's
+    PostingsWriter drops positions for every term when disabled,
+    segment.rs:833)."""
     frames: list[DataFrame] = []
     for k in schema.keyword_fields:
         col = F.col(k.name)
@@ -256,7 +267,11 @@ def _keyword_posting_rows_sql(docs: DataFrame, schema: IndexSchema) -> DataFrame
                 F.lit(k.name).alias("field"),
                 F.concat(F.lit(k.name + ":"), F.col("_v")).alias("term"),
                 F.lit(1).cast("int").alias("tf"),
-                F.array(F.lit(0).cast("int")).alias("positions"),
+                (
+                    F.array(F.lit(0).cast("int"))
+                    if positions
+                    else F.lit(None).cast("array<int>")
+                ).alias("positions"),
                 F.lit(0).cast("int").alias("dl"),
             )
         )
@@ -268,12 +283,14 @@ def _keyword_posting_rows_sql(docs: DataFrame, schema: IndexSchema) -> DataFrame
     return out
 
 
-def _make_arrow_pack_kernel(text_fields: list[str]):
+def _make_arrow_pack_kernel(text_fields: list[str], positions: bool = True):
     """mapInArrow kernel: (doc_id, _toks_<field>...) -> POSTING rows.
 
     All heavy lifting is C: list offsets -> numpy repeat for doc ids /
     positions / dl, pyarrow hash group-by for the (doc, term)
-    aggregation, native ListArray output."""
+    aggregation, native ListArray output.  positions=False skips the
+    position arithmetic and the list aggregation entirely (NULL
+    positions column) — the enable_positions=false build path."""
 
     def kernel(batches):
         import numpy as np
@@ -306,25 +323,36 @@ def _make_arrow_pack_kernel(text_fields: list[str]):
                 # cheaper than translate()/transform() on the JVM side
                 flat = pc.ascii_lower(arr.values)
                 doc = np.repeat(doc_np, counts)
-                pos = (
-                    np.arange(len(flat), dtype=np.int64)
-                    - np.repeat(offsets[:-1], counts)
-                ).astype(np.int32)
                 dl = np.repeat(counts.astype(np.int32), counts)
-                t2 = pa.table(
-                    {
-                        "doc_id": pa.array(doc, pa.int64()),
-                        "term": flat,
-                        "pos": pa.array(pos, pa.int32()),
-                        "dl": pa.array(dl, pa.int32()),
-                    }
-                )
+                cols = {
+                    "doc_id": pa.array(doc, pa.int64()),
+                    "term": flat,
+                    "dl": pa.array(dl, pa.int32()),
+                }
+                if positions:
+                    pos = (
+                        np.arange(len(flat), dtype=np.int64)
+                        - np.repeat(offsets[:-1], counts)
+                    ).astype(np.int32)
+                    cols["pos"] = pa.array(pos, pa.int32())
+                t2 = pa.table(cols)
                 # use_threads=False keeps rows in order -> positions
                 # accumulate ascending within each (doc, term) group
-                agg = pa.TableGroupBy(t2, ["doc_id", "term"], use_threads=False).aggregate(
+                aggs = (
                     [("pos", "list"), ("pos", "count"), ("dl", "min")]
+                    if positions
+                    else [("dl", "count"), ("dl", "min")]
                 )
+                agg = pa.TableGroupBy(
+                    t2, ["doc_id", "term"], use_threads=False
+                ).aggregate(aggs)
                 n = len(agg)
+                tf_col = agg.column("pos_count" if positions else "dl_count")
+                pos_col = (
+                    agg.column("pos_list").combine_chunks()
+                    if positions
+                    else pa.nulls(n, pa.list_(pa.int32()))
+                )
                 term_full = pc.binary_join_element_wise(
                     pa.scalar(fname + ":"), agg.column("term").cast(pa.string()), pa.scalar("")
                 )
@@ -333,8 +361,8 @@ def _make_arrow_pack_kernel(text_fields: list[str]):
                         agg.column("doc_id").combine_chunks(),
                         pa.array([fname] * n, pa.string()),
                         term_full.combine_chunks(),
-                        agg.column("pos_count").cast(pa.int32()).combine_chunks(),
-                        agg.column("pos_list").combine_chunks(),
+                        tf_col.cast(pa.int32()).combine_chunks(),
+                        pos_col,
                         agg.column("dl_min").cast(pa.int32()).combine_chunks(),
                     ],
                     names=["doc_id", "field", "term", "tf", "positions", "dl"],
@@ -343,7 +371,9 @@ def _make_arrow_pack_kernel(text_fields: list[str]):
     return kernel
 
 
-def tokenize_postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+def tokenize_postings_arrow(
+    docs: DataFrame, schema: IndexSchema, positions: bool = True
+) -> DataFrame:
     """Vectorized tokenize -> POSTING_SCHEMA rows (plain default
     analyzer only; assert with sql_tokenize_eligible first)."""
     text_names = schema.text_field_names
@@ -362,9 +392,9 @@ def tokenize_postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     out = None
     if text_names:
         out = docs.select(*cols).mapInArrow(
-            _make_arrow_pack_kernel(text_names), POSTING_SCHEMA
+            _make_arrow_pack_kernel(text_names, positions), POSTING_SCHEMA
         )
-    kw = _keyword_posting_rows_sql(docs, schema)
+    kw = _keyword_posting_rows_sql(docs, schema, positions)
     if kw is not None:
         out = kw if out is None else out.unionByName(kw)
     return out
@@ -375,11 +405,13 @@ def tokenize_postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
 _RE2_SPLIT_PATTERN = r"[^\pL\p{Nd}\p{Nl}\p{No}]+"
 
 
-def _make_arrow_split_kernel(text_fields: list[str]):
+def _make_arrow_split_kernel(text_fields: list[str], positions: bool = True):
     """mapInArrow kernel over RAW text columns: RE2 split (C++),
     empty-token drop, ASCII lowercase, per-(doc, term) tf/positions
     aggregation — the whole analysis chain in one Arrow pass, nothing
-    but the raw text crosses the JVM->Python boundary."""
+    but the raw text crosses the JVM->Python boundary.
+    positions=False (enable_positions=false): no position arithmetic,
+    no list aggregation, NULL positions column."""
 
     def kernel(batches):
         import numpy as np
@@ -416,24 +448,35 @@ def _make_arrow_split_kernel(text_fields: list[str]):
                 )[mask]
                 flat = pc.ascii_lower(flat.filter(pa.array(mask)))
                 counts = np.bincount(doc_idx, minlength=len(doc_np))
-                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-                pos = (
-                    np.arange(len(doc_idx), dtype=np.int64)
-                    - np.repeat(starts, counts)
-                ).astype(np.int32)
                 dl = np.repeat(counts.astype(np.int32), counts)
-                t2 = pa.table(
-                    {
-                        "doc_id": pa.array(doc_np[doc_idx], pa.int64()),
-                        "term": flat,
-                        "pos": pa.array(pos, pa.int32()),
-                        "dl": pa.array(dl, pa.int32()),
-                    }
+                cols = {
+                    "doc_id": pa.array(doc_np[doc_idx], pa.int64()),
+                    "term": flat,
+                    "dl": pa.array(dl, pa.int32()),
+                }
+                if positions:
+                    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                    pos = (
+                        np.arange(len(doc_idx), dtype=np.int64)
+                        - np.repeat(starts, counts)
+                    ).astype(np.int32)
+                    cols["pos"] = pa.array(pos, pa.int32())
+                t2 = pa.table(cols)
+                aggs = (
+                    [("pos", "list"), ("pos", "count"), ("dl", "min")]
+                    if positions
+                    else [("dl", "count"), ("dl", "min")]
                 )
                 agg = pa.TableGroupBy(
                     t2, ["doc_id", "term"], use_threads=False
-                ).aggregate([("pos", "list"), ("pos", "count"), ("dl", "min")])
+                ).aggregate(aggs)
                 n = len(agg)
+                tf_col = agg.column("pos_count" if positions else "dl_count")
+                pos_col = (
+                    agg.column("pos_list").combine_chunks()
+                    if positions
+                    else pa.nulls(n, pa.list_(pa.int32()))
+                )
                 term_full = pc.binary_join_element_wise(
                     pa.scalar(fname + ":"),
                     agg.column("term").cast(pa.string()),
@@ -444,8 +487,8 @@ def _make_arrow_split_kernel(text_fields: list[str]):
                         agg.column("doc_id").combine_chunks(),
                         pa.array([fname] * n, pa.string()),
                         term_full.combine_chunks(),
-                        agg.column("pos_count").cast(pa.int32()).combine_chunks(),
-                        agg.column("pos_list").combine_chunks(),
+                        tf_col.cast(pa.int32()).combine_chunks(),
+                        pos_col,
                         agg.column("dl_min").cast(pa.int32()).combine_chunks(),
                     ],
                     names=["doc_id", "field", "term", "tf", "positions", "dl"],
@@ -454,22 +497,26 @@ def _make_arrow_split_kernel(text_fields: list[str]):
     return kernel
 
 
-def tokenize_postings_arrow_re2(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+def tokenize_postings_arrow_re2(
+    docs: DataFrame, schema: IndexSchema, positions: bool = True
+) -> DataFrame:
     """Variant of tokenize_postings_arrow with the regex split ALSO in
     the Arrow kernel (RE2): the JVM ships raw text only."""
     text_names = schema.text_field_names
     out = None
     if text_names:
         out = docs.select("doc_id", *text_names).mapInArrow(
-            _make_arrow_split_kernel(text_names), POSTING_SCHEMA
+            _make_arrow_split_kernel(text_names, positions), POSTING_SCHEMA
         )
-    kw = _keyword_posting_rows_sql(docs, schema)
+    kw = _keyword_posting_rows_sql(docs, schema, positions)
     if kw is not None:
         out = kw if out is None else out.unionByName(kw)
     return out
 
 
-def tokenize_postings_best(docs: DataFrame, schema: IndexSchema) -> tuple[DataFrame, bool]:
+def tokenize_postings_best(
+    docs: DataFrame, schema: IndexSchema, positions: bool = True
+) -> tuple[DataFrame, bool]:
     """(postings_df, vectorized?) — the Arrow path when eligible, else
     the Python analyzer path.
 
@@ -479,8 +526,8 @@ def tokenize_postings_best(docs: DataFrame, schema: IndexSchema) -> tuple[DataFr
     the kernel), exact row parity verified (hash over 518k posting
     rows incl. positions)."""
     if sql_tokenize_eligible(docs, schema):
-        return tokenize_postings_arrow_re2(docs, schema), True
-    return tokenize_postings(docs, schema), False
+        return tokenize_postings_arrow_re2(docs, schema, positions), True
+    return tokenize_postings(docs, schema, positions), False
 
 
 def compute_stats(terms_df: DataFrame, n_docs: int, text_names) -> dict:
@@ -526,6 +573,9 @@ def build_index(
     store_columns: list[str] | None = None,
     docs_layout: str = "range",
     postings_layout: str = "hash",
+    enable_positions: bool = True,
+    bm25_k1: float = 0.9,
+    bm25_b: float = 0.4,
 ) -> Index:
     """id_mode="assign": dense doc ids in doc-key string order (the
     reference's BTreeMap commit order, writer.rs:126-189).
@@ -547,7 +597,23 @@ def build_index(
     (repartitionByRange by (term, doc_id)) — globally term-sorted files,
     but the range partitioner's SAMPLING job forces either a second
     tokenize pass or a full cache scan; measured slower at every scale
-    tried, kept for comparison."""
+    tried, kept for comparison.
+    enable_positions: False = the reference's IndexOptions
+    enable_positions=false (api/types.rs:19, segment.rs:569-585): the
+    postings' ``positions`` column is written NULL — smaller index,
+    same tf/dl/BM25, and phrase queries match nothing (the
+    phrase.rs:16-18 empty-positions contract).  Recorded in the
+    manifest so appends/rebuilds keep the layout consistent.
+    bm25_k1 / bm25_b: per-index scoring parameters (the reference's
+    IndexOptions bm25_k1/bm25_b, api/types.rs:20-21; defaults from
+    searchlite-cli/src/main.rs:196-197).  Stored in the manifest and
+    read by every scoring path (brute, WAND, BMW, batch) at query
+    time — nothing in the index LAYOUT depends on them (blocks keep
+    raw max_tf), so they are free to differ between indexes."""
+    if bm25_k1 < 0:
+        raise ValueError(f"bm25_k1 must be >= 0, got {bm25_k1}")
+    if not (0.0 <= bm25_b <= 1.0):
+        raise ValueError(f"bm25_b must be in [0, 1], got {bm25_b}")
     t0 = time.time()
     phases: dict[str, float] = {}
     _last = [t0]
@@ -589,7 +655,9 @@ def build_index(
     _mark("ids")
 
     postings_path = f"{out_dir}/postings"
-    postings_flat, vectorized = tokenize_postings_best(docs, schema)
+    postings_flat, vectorized = tokenize_postings_best(
+        docs, schema, positions=enable_positions
+    )
     if postings_layout == "hash":
         # Single deterministic exchange: hash(term, doc-chunk).  The
         # doc-chunk salt splits a head term ("the", df≈n_docs) across
@@ -688,6 +756,11 @@ def build_index(
         "schema": schema.to_dict(),
         "stats": stats,
         "block_size": block_size,
+        "options": {
+            "enable_positions": bool(enable_positions),
+            "bm25_k1": float(bm25_k1),
+            "bm25_b": float(bm25_b),
+        },
         "metrics": {
             "build_secs": round(build_secs, 3),
             "n_docs": int(n_docs),

@@ -54,6 +54,17 @@ class Index:
         "total_tokens": {field: int}} — single-segment scope."""
         return self.manifest["stats"]
 
+    @property
+    def options(self) -> dict:
+        """Index-level build options (the reference's IndexOptions,
+        api/types.rs:15-24).  Pre-option manifests imply the defaults."""
+        return {
+            "enable_positions": True,
+            "bm25_k1": 0.9,
+            "bm25_b": 0.4,
+            **self.manifest.get("options", {}),
+        }
+
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "docs"))
 

@@ -127,8 +127,16 @@ class Searcher:
         self.terms = index.terms().persist()
         self.blocks = index.blocks() if index.has_blocks() else None
         self.expander = DictionaryExpander(self.terms)
-        self.k1 = K1_DEFAULT
-        self.b = B_DEFAULT
+        # per-index scoring parameters from the manifest (the
+        # reference's IndexOptions bm25_k1/bm25_b, api/types.rs:20-21;
+        # the reader inherits them at open, reader.rs:1895-1910).
+        # Every scoring path reads these fields — brute column expr,
+        # WAND/BMW kernel (passed at wand_topk call), batch execution,
+        # and the θ-cache key — so one index can run k1/b different
+        # from another with zero layout change.
+        _opts = index.options
+        self.k1 = float(_opts.get("bm25_k1", K1_DEFAULT))
+        self.b = float(_opts.get("bm25_b", B_DEFAULT))
         # index generation for cursor staleness checks (the reference
         # rejects cursors from another index generation,
         # reader.rs:821-869): the manifest's per-build uuid when present
@@ -1258,7 +1266,19 @@ class Searcher:
         keys = sorted({r[0] for r in map_rows})
         cand = (
             self.postings.where(F.col("term").isin(keys))
-            .select("doc_id", "term", "positions")
+            # enable_positions=false indexes store NULL positions;
+            # coalescing to [] makes every downstream stage see empty
+            # lists, so phrases match NOTHING — exactly the reference's
+            # empty-positions contract (phrase.rs:16-18): the zero-slop
+            # adjacency fold yields an empty survivor set and the slop
+            # kernel's `any(len(p) == 0)` guard rejects the doc.
+            .select(
+                "doc_id",
+                "term",
+                F.coalesce(
+                    F.col("positions"), F.array().cast("array<int>")
+                ).alias("positions"),
+            )
             .join(F.broadcast(mapping), "term")
         )
         if self._phrase_prefilter_worthwhile(keys):
