@@ -72,13 +72,14 @@ def build_chunk(
     input_snapshot: str,
     block_size: int = 128,
     partitions_per_chunk: int = 8,
+    positions: bool = True,
 ) -> dict:
     """Build postings + blocks for doc_id in [lo, hi]; commit marker."""
     from pyspark import StorageLevel
 
     t0 = time.time()
     part = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
-    postings, vectorized = tokenize_postings_best(part, schema)
+    postings, vectorized = tokenize_postings_best(part, schema, positions)
     if not vectorized:
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     sorted_p = postings.repartitionByRange(
@@ -123,8 +124,18 @@ def build_index_resumable(
     id_mode: str = "assign",
     input_snapshot: str | None = None,
     num_partitions: int | None = None,
+    enable_positions: bool = True,
+    bm25_k1: float = 0.9,
+    bm25_b: float = 0.4,
     _stop_after_chunks: int | None = None,  # test hook: simulate a crash
 ) -> Index | None:
+    """Options mirror build_index (the reference's IndexOptions): they
+    are per-INDEX, so every chunk builds with the same positions flag
+    and the finalize step records them in the one manifest."""
+    if bm25_k1 < 0:
+        raise ValueError(f"bm25_k1 must be >= 0, got {bm25_k1}")
+    if not (0.0 <= bm25_b <= 1.0):
+        raise ValueError(f"bm25_b must be in [0, 1], got {bm25_b}")
     t0 = time.time()
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -172,6 +183,7 @@ def build_index_resumable(
         marker = build_chunk(
             spark, docs, schema, out_dir, i, clo, chi, input_snapshot,
             block_size, max(num_partitions // chunks, 2),
+            positions=enable_positions,
         )
         metrics.append(marker)
         done += 1
@@ -181,12 +193,17 @@ def build_index_resumable(
     return finalize_index(
         spark, schema, out_dir, block_size, input_snapshot, metrics,
         num_partitions, time.time() - t0,
+        options={
+            "enable_positions": bool(enable_positions),
+            "bm25_k1": float(bm25_k1),
+            "bm25_b": float(bm25_b),
+        },
     )
 
 
 def finalize_index(
     spark, schema, out_dir, block_size, input_snapshot, chunk_metrics,
-    num_partitions, build_secs,
+    num_partitions, build_secs, options: dict | None = None,
 ) -> Index:
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     docs = spark.read.parquet(os.path.join(out_dir, "docs_base"))
@@ -245,6 +262,7 @@ def finalize_index(
             "max_doc_id": max_doc_id,
         },
         "block_size": block_size,
+        "options": dict(options) if options else {},
         "metrics": {
             "build_secs": round(build_secs, 3),
             "n_docs": int(n_docs),

@@ -35,7 +35,7 @@ def nopos_index(spark, tiny_corpus, schema, tmp_path_factory):
 
 
 def test_option_recorded_in_manifest(nopos_index):
-    assert nopos_index.options == {"enable_positions": False}
+    assert nopos_index.options["enable_positions"] is False
     assert nopos_index.manifest["options"]["enable_positions"] is False
 
 
@@ -118,6 +118,22 @@ def test_python_analyzer_path_also_null(spark, tiny_corpus, tmp_path_factory):
     from pyspark.sql import functions as F
 
     assert idx.postings().where(F.col("positions").isNotNull()).count() == 0
+
+
+def test_resumable_build_honors_options(spark, tiny_corpus, schema, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from searchlite_spark.index.resume import build_index_resumable
+
+    out = str(tmp_path_factory.mktemp("nopos_resume"))
+    idx = build_index_resumable(
+        spark, tiny_corpus, schema, out, chunks=2, num_partitions=4,
+        enable_positions=False, bm25_k1=1.1, bm25_b=0.3,
+    )
+    assert idx.postings().where(F.col("positions").isNotNull()).count() == 0
+    assert idx.options["enable_positions"] is False
+    assert (idx.options["bm25_k1"], idx.options["bm25_b"]) == (1.1, 0.3)
+    assert Searcher(idx).search({"query": '"programming language"'})["hits"] == []
 
 
 def test_append_inherits_positionless_layout(spark, nopos_index, schema):
