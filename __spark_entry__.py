@@ -1084,6 +1084,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), chunk_tokens=8, overlap=2
         ).orderBy("doc_id", "chunk_id")
 
+    def pack_sequences_q(spark, sf_dir):
+        """GPT-style training-sequence packing (concat-and-chunk):
+        documents in doc_id order form one token stream split into
+        256-token packs; rows are (pack_id, doc_id, slice_start,
+        slice_len) per document/pack overlap.  The oracle replays the
+        whole layout from a window prefix sum — the Spark side computes
+        the same prefix sum with the two-phase partition-offset pattern
+        (textops/transform.py pack_sequences), never a global
+        single-partition window."""
+        from searchlite_spark.textops import pack_sequences
+
+        return pack_sequences(
+            _docs(spark, sf_dir), budget=256
+        ).orderBy("pack_id", "doc_id")
+
     def redact_pii_q(spark, sf_dir):
         """Deterministic PII is appended to each document (email, phone,
         ipv4 derived from doc_id), then redacted; the oracle builds the
@@ -2112,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gopher_quality=gopher_quality_q,
         url_dedup_latest=url_dedup_q,
         chunk_documents=chunk_documents_q,
+        pack_sequences=pack_sequences_q,
         redact_pii=redact_pii_q,
         decontaminate=decontaminate_q,
     )
@@ -2151,6 +2167,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so its "path untouched" deferral justification no longer holds.
     # Paid for by deferring bm25_topk_wand and ivf_ann_topk, both green
     # r05 and re-verified at sf0.01+sf1 this session (notes below).
+    # Round-6 session 4: the NEW pack_sequences row (textops/
+    # transform.py — training-sequence packing with a two-phase prefix
+    # sum) enters in-window, paid for by deferring append_bm25 (green
+    # r05; the in-window writer_txn_bm25 commits through the SAME
+    # append.py fold + manifest swap, so the append path keeps driver
+    # evidence).  transform.py's change is purely additive —
+    # chunk_documents/redact_pii code paths are untouched and the new
+    # row keeps the module in-window.
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
         # -- BM25/search long tail: engine changes are covered in-window
@@ -2193,10 +2217,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sampler",           # green r05; sampler untouched; agg funnel
                                  # re-checked by the returning family
         # -- index maintenance/streaming: untouched this round except
-        #    sessionize (NEW stream_sessions row in-window); append_bm25
-        #    stays in-window for the family
-        "delete_rebuild_bm25",   # append_bm25 in-window (same manifest swap)
-        "maintenance_roundtrip", # append_bm25 in-window (compaction sibling);
+        #    sessionize (NEW stream_sessions row in-window);
+        #    writer_txn_bm25 stays in-window for the write family
+        "delete_rebuild_bm25",   # writer_txn_bm25 in-window (same manifest swap)
+        "append_bm25",           # green r05 AND re-verified at sf0.01+sf1 in
+                                 # this round's earlier sessions; append.py
+                                 # untouched in session 4, and the in-window
+                                 # writer_txn_bm25 row commits through the
+                                 # same append fold + manifest swap —
+                                 # deferred to admit the NEW pack_sequences
+        "maintenance_roundtrip", # writer_txn_bm25 in-window (compaction sibling);
                                  # the r06 _rewrite change (drop the
                                  # tombstones_dir pointer from the out
                                  # manifest) is exercised in-window by
@@ -3409,6 +3439,34 @@ c AS (
 SELECT doc_id, chunk_id::INT AS chunk_id,
        array_to_string(ck, ' ') AS chunk_text, len(ck)::INT AS n_tokens
 FROM c ORDER BY doc_id, chunk_id"""
+    # pack_sequences: the oracle replays the concat-and-chunk layout
+    # with a plain window prefix sum (fine at oracle scale; the Spark
+    # side computes the same sum with the two-phase partition-offset
+    # pattern precisely because a global ordered window is the thing
+    # that cannot scale).  unnest(range(...)) emits one row per pack a
+    # document overlaps; 256 matches the Spark row's budget.
+    O["pack_sequences"] = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM toks WHERE n > 0
+),
+hits AS (
+  SELECT doc_id, n, s,
+         unnest(range(s // 256, (s + n - 1) // 256 + 1)) AS pack_id
+  FROM spans
+)
+SELECT pack_id::BIGINT AS pack_id, doc_id,
+       (greatest(s, pack_id * 256) - s)::BIGINT AS slice_start,
+       (least(s + n, (pack_id + 1) * 256)
+        - greatest(s, pack_id * 256))::BIGINT AS slice_len
+FROM hits ORDER BY pack_id, doc_id"""
     O["redact_pii"] = r"""
 WITH d AS (
   SELECT doc_id,

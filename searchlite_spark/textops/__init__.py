@@ -1,5 +1,6 @@
 from searchlite_spark.textops.transform import (  # noqa: F401
     chunk_documents,
+    pack_sequences,
     redact_pii,
 )
 from searchlite_spark.textops.webclean import (  # noqa: F401
