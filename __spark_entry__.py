@@ -1084,6 +1084,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), chunk_tokens=8, overlap=2
         ).orderBy("doc_id", "chunk_id")
 
+    def token_budget_sample_q(spark, sf_dir):
+        """Per-domain token budget (textops/sampling.py sample_tokens):
+        take documents in doc_id order within each lang until 2000
+        tokens; the crossing document is kept (budget is a floor).
+        Spark computes the per-stratum prefix sum with the two-phase
+        partition-offset pattern; the oracle replays it with a plain
+        partitioned window."""
+        from searchlite_spark.textops import sample_tokens
+
+        return sample_tokens(
+            _docs(spark, sf_dir), 2000, strata_col="lang"
+        ).orderBy("lang", "doc_id")
+
     def pack_sequences_q(spark, sf_dir):
         """GPT-style training-sequence packing (concat-and-chunk):
         documents in doc_id order form one token stream split into
@@ -2128,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         url_dedup_latest=url_dedup_q,
         chunk_documents=chunk_documents_q,
         pack_sequences=pack_sequences_q,
+        token_budget_sample=token_budget_sample_q,
         redact_pii=redact_pii_q,
         decontaminate=decontaminate_q,
     )
@@ -2174,7 +2188,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # append.py fold + manifest swap, so the append path keeps driver
     # evidence).  transform.py's change is purely additive —
     # chunk_documents/redact_pii code paths are untouched and the new
-    # row keeps the module in-window.
+    # row keeps the module in-window.  Session 4 also adds
+    # token_budget_sample (textops/sampling.py — per-domain token
+    # budgets via the same two-phase prefix-sum pattern, grouped),
+    # paid for by deferring top_hits_per_lang (green r05; the
+    # postprocess collapse/top-hits window path keeps TWO in-window
+    # rows, collapse_lang and rescore_window).
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
         # -- BM25/search long tail: engine changes are covered in-window
@@ -2204,6 +2223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  # hook region); script.py untouched
         "rank_feature_nchars",   # function_score_fvf + constant_score_filter return
         "multi_match_best",      # dis_max_tie + multi_match_most BOTH return
+        "top_hits_per_lang",     # green r05; postprocess.py untouched in
+                                 # session 4 and the collapse/top-hits window
+                                 # path keeps collapse_lang + rescore_window
+                                 # in-window — deferred to admit the NEW
+                                 # token_budget_sample row
         # -- aggregation family: aggs.py untouched this round; the 12
         #    returning agg rows re-check the whole funnel
         "significant_terms_bgfilter",  # significant_terms_source returns
@@ -3439,6 +3463,26 @@ c AS (
 SELECT doc_id, chunk_id::INT AS chunk_id,
        array_to_string(ck, ' ') AS chunk_text, len(ck)::INT AS n_tokens
 FROM c ORDER BY doc_id, chunk_id"""
+    # token_budget_sample: per-lang prefix sum replayed with a plain
+    # partitioned window (oracle scale); keep iff tokens_before < 2000
+    # — the crossing doc stays, matching sample_tokens' floor contract
+    O["token_budget_sample"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tokens_before
+  FROM toks WHERE n_tokens > 0
+)
+SELECT doc_id, lang, n_tokens, tokens_before
+FROM spans WHERE tokens_before < 2000
+ORDER BY lang, doc_id"""
     # pack_sequences: the oracle replays the concat-and-chunk layout
     # with a plain window prefix sum (fine at oracle scale; the Spark
     # side computes the same sum with the two-phase partition-offset

@@ -3,6 +3,11 @@ from searchlite_spark.textops.transform import (  # noqa: F401
     pack_sequences,
     redact_pii,
 )
+from searchlite_spark.textops.sampling import (  # noqa: F401
+    mixture_fractions,
+    sample_by_fractions,
+    sample_tokens,
+)
 from searchlite_spark.textops.webclean import (  # noqa: F401
     gopher_quality,
     repetition_stats,

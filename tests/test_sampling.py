@@ -1,0 +1,110 @@
+"""Domain-mixture sampling and per-stratum token budgets
+(textops/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchlite_spark.textops import (
+    mixture_fractions,
+    sample_by_fractions,
+    sample_tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "src%d" % (i % 3), ("tok " * (1 + i % 5)).strip())
+            for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+
+
+def test_mixture_fractions_arithmetic():
+    # the scarce stratum binds: wiki keeps everything, web downsamples
+    fr = mixture_fractions({"wiki": 100, "web": 1000}, {"wiki": 1, "web": 1})
+    assert fr == {"wiki": 1.0, "web": pytest.approx(0.1)}
+    # strata absent from the target are dropped from the result
+    fr2 = mixture_fractions({"a": 10, "b": 10, "c": 5}, {"a": 2, "b": 1})
+    assert fr2 == {"a": 1.0, "b": pytest.approx(0.5)}
+    with pytest.raises(ValueError, match="no observed documents"):
+        mixture_fractions({"a": 10}, {"a": 1, "ghost": 1})
+    with pytest.raises(ValueError, match="positive weight"):
+        mixture_fractions({"a": 10}, {"a": 0})
+
+
+def test_sample_by_fractions_deterministic(corpus):
+    fr = {"src0": 1.0, "src1": 0.5}
+    s = sample_by_fractions(corpus, "source", fr, seed=7)
+    counts = {r["source"]: r["cnt"] for r in
+              s.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["src0"] == 1000          # fraction 1.0 keeps all
+    assert "src2" not in counts            # unlisted stratum dropped
+    assert 400 < counts["src1"] < 600      # ~half, md5-uniform
+    # same seed, different partitioning -> byte-identical subset
+    # (sampleBy's RNG cannot promise this; the md5 draw does)
+    s2 = sample_by_fractions(corpus.repartition(13), "source", fr, seed=7)
+    assert sorted(r["doc_id"] for r in s.collect()) == \
+        sorted(r["doc_id"] for r in s2.collect())
+    # a different seed draws a different subset
+    s3 = sample_by_fractions(corpus, "source", fr, seed=8)
+    assert sorted(r["doc_id"] for r in s3.collect()) != \
+        sorted(r["doc_id"] for r in s.collect())
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        sample_by_fractions(corpus, "source", {"src0": 1.5})
+
+
+def _offline_replay(rows, budgets):
+    expect, cum = [], {}
+    for r in rows:  # rows pre-sorted by (source, doc_id)
+        b = budgets.get(r["source"])
+        if b is None:
+            continue
+        before = cum.get(r["source"], 0)
+        if before < b:
+            expect.append((r["doc_id"], r["source"], r["n"], before))
+        cum[r["source"]] = before + r["n"]
+    return sorted(expect)
+
+
+def test_sample_tokens_exact_and_partition_independent(corpus):
+    ordered = corpus.select(
+        "doc_id", "source",
+        F.size(F.split("text", r"\s+")).alias("n"),
+    ).orderBy("source", "doc_id").collect()
+
+    got = sorted(map(tuple, sample_tokens(corpus, 50, strata_col="source")
+                     .collect()))
+    assert got == _offline_replay(ordered, {s: 50 for s in
+                                            ("src0", "src1", "src2")})
+    # budget is a floor: every stratum reaches >= 50 tokens and the
+    # crossing doc is kept (tokens_before < budget)
+    agg = {r["source"]: r for r in
+           sample_tokens(corpus, 50, strata_col="source")
+           .groupBy("source")
+           .agg(F.sum("n_tokens").alias("tok"),
+                F.max("tokens_before").alias("mb")).collect()}
+    for r in agg.values():
+        assert r["tok"] >= 50 and r["mb"] < 50
+
+    # per-stratum dict budgets + unlisted strata dropped + any
+    # partition count gives the identical subset
+    budgets = {"src0": 50, "src2": 30}
+    for parts in (1, 3, 16):
+        got2 = sorted(map(tuple, sample_tokens(
+            corpus, budgets, strata_col="source",
+            num_partitions=parts).collect()))
+        assert got2 == _offline_replay(ordered, budgets)
+    with pytest.raises(ValueError, match="positive"):
+        sample_tokens(corpus, 0, strata_col="source")
+    with pytest.raises(ValueError, match="positive"):
+        sample_tokens(corpus, {"src0": -1}, strata_col="source")
+
+
+def test_sample_tokens_pretokenized_col(corpus):
+    pre = corpus.withColumn("nt", F.size(F.split("text", r"\s+")))
+    a = sorted(map(tuple, sample_tokens(
+        corpus, 40, strata_col="source").collect()))
+    b = sorted(map(tuple, sample_tokens(
+        pre, 40, strata_col="source", n_tokens_col="nt").collect()))
+    assert a == b
