@@ -45,9 +45,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
-import time
 
 from pyspark.sql import types as T
 
@@ -347,14 +345,23 @@ def cmd_add(spark, index: str, doc_path: str) -> dict:
     return {"queued": n}
 
 
-def validate_ids(ids: list[str]) -> None:
-    """The reference refuses control characters in ids
-    (main.rs:276-278; searchlite-http validate_ids)."""
-    for i, raw in enumerate(ids):
-        if not raw or raw != raw.strip():
-            raise SystemExit(f"error: invalid id at position {i}")
-        if any(c.isspace() and c != " " or ord(c) < 32 for c in raw):
-            raise SystemExit(f"error: invalid id at position {i}")
+def check_ids(ids: list) -> None:
+    """The ONE id-validation contract shared by the CLI and the HTTP
+    surface (main.rs:276-278 / searchlite-http lib.rs:718-744
+    validate_ids): no empties, no surrounding whitespace, no control
+    characters (incl. DEL).  Raises ValueError; callers map it to
+    their own error envelope."""
+    if not isinstance(ids, list) or not all(isinstance(i, str) for i in ids):
+        raise ValueError("ids must be an array of strings")
+    for idx, raw in enumerate(ids):
+        if not raw.strip():
+            raise ValueError(f"id at position {idx} is empty")
+        if raw != raw.strip():
+            raise ValueError(
+                f"id at position {idx} has leading or trailing whitespace"
+            )
+        if any(ord(c) < 32 or ord(c) == 127 for c in raw):
+            raise ValueError(f"id at position {idx} contains control characters")
 
 
 def cmd_delete(spark, index: str, ids_path: str) -> dict:
@@ -364,7 +371,10 @@ def cmd_delete(spark, index: str, ids_path: str) -> dict:
         ids = [ln.strip() for ln in f if ln.strip()]
     if not ids:
         raise SystemExit("error: no document ids provided")
-    validate_ids(ids)
+    try:
+        check_ids(ids)
+    except ValueError as e:
+        raise SystemExit(f"error: invalid id ({e})")
     with IndexWriter(spark, index) as w:
         w.delete_documents(ids)
     return {"queued": len(ids)}
@@ -385,24 +395,14 @@ def cmd_inspect(spark, index: str) -> dict:
 
 
 def cmd_compact(spark, index: str) -> dict:
-    """In-place compaction via rewrite-and-swap: the reference compacts
-    under its writer lock (lib.rs compact handler); here the rewrite
-    lands in a sibling directory and replaces the index by rename —
-    readers opened before the swap keep their snapshot (their parquet
-    paths are gone only after the old dir is removed), new readers see
-    the compacted index."""
-    from searchlite_spark.index.maintenance import compact
+    """In-place compaction with zero reader downtime: every table is
+    rewritten into fresh versioned dirs and ONE atomic manifest write
+    flips the pointers (maintenance.compact_in_place) — open readers
+    keep their snapshot, sidecars (corpus_type.json) stay in place,
+    and superseded dirs are reclaimed by the next compaction."""
+    from searchlite_spark.index.maintenance import compact_in_place
 
-    tmp = f"{index}.compact.{time.time_ns()}"
-    old = f"{index}.old.{time.time_ns()}"
-    compact(spark, index, tmp)
-    # carry CLI sidecars the rewrite doesn't know about
-    side = os.path.join(index, "corpus_type.json")
-    if os.path.exists(side):
-        shutil.copy(side, os.path.join(tmp, "corpus_type.json"))
-    os.rename(index, old)
-    os.rename(tmp, index)
-    shutil.rmtree(old, ignore_errors=True)
+    compact_in_place(spark, index)
     return {"compacted": True}
 
 

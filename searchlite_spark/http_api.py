@@ -127,7 +127,11 @@ class AppState:
 
 def _parse_ndjson(body: bytes) -> list[dict]:
     docs = []
-    for line_no, line in enumerate(body.decode("utf-8").splitlines(), start=1):
+    try:
+        text = body.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise _bad_request("invalid_document", f"request body is not UTF-8: {e}")
+    for line_no, line in enumerate(text.splitlines(), start=1):
         line = line.strip()
         if not line:
             continue
@@ -148,22 +152,14 @@ def _parse_ndjson(body: bytes) -> list[dict]:
 
 
 def _validate_ids(ids) -> None:
-    """lib.rs:718-744 validate_ids: no empties, no surrounding
-    whitespace, no control characters."""
-    if not isinstance(ids, list) or not all(isinstance(i, str) for i in ids):
-        raise _bad_request("invalid_id", "ids must be an array of strings")
-    for idx, raw in enumerate(ids):
-        if not raw.strip():
-            raise _bad_request("invalid_id", f"id at position {idx} is empty")
-        if raw != raw.strip():
-            raise _bad_request(
-                "invalid_id",
-                f"id at position {idx} has leading or trailing whitespace",
-            )
-        if any(ord(c) < 32 or ord(c) == 127 for c in raw):
-            raise _bad_request(
-                "invalid_id", f"id at position {idx} contains control characters"
-            )
+    """lib.rs:718-744 validate_ids — the shared contract lives in
+    cli.check_ids so the CLI and HTTP surfaces cannot drift."""
+    from searchlite_spark.cli import check_ids
+
+    try:
+        check_ids(ids)
+    except ValueError as e:
+        raise _bad_request("invalid_id", str(e))
 
 
 def _queue_documents(state: AppState, docs: list[dict]) -> int:
@@ -173,9 +169,11 @@ def _queue_documents(state: AppState, docs: list[dict]) -> int:
     from searchlite_spark.cli import corpus_type_of, docs_to_df, fold_last_wins
     from searchlite_spark.index.writer import IndexWriter
 
+    # index existence is checked even for an empty batch: a missing
+    # index must 404 on every index-scoped route, not report queued: 0
+    index = state.require_index()
     if not docs:
         return 0
-    index = state.require_index()
     with state.writer_lock:
         try:
             with IndexWriter(state.spark, index.path) as w:
@@ -201,11 +199,13 @@ def handle(state: AppState, method: str, path: str, body: bytes) -> tuple[int, d
         schema_json = _parse_json_body(body, "schema")
         if state.manifest_exists():
             raise HttpError(409, "index_exists", "index already exists at this path")
-        from searchlite_spark.cli import SchemaError, create_index
+        from searchlite_spark.cli import create_index
 
         try:
             create_index(state.spark, state.index_path, schema_json)
-        except (SchemaError, KeyError, TypeError) as e:
+        except (ValueError, KeyError, TypeError) as e:
+            # ValueError covers SchemaError AND the schema module's own
+            # fail-fast errors (unknown analyzer, bad edge_ngram grams)
             raise _bad_request("init_failed", str(e))
         return 200, {"created": True}
 
@@ -261,11 +261,15 @@ def handle(state: AppState, method: str, path: str, body: bytes) -> tuple[int, d
 
     if method == "POST" and path == "/compact":
         state.require_index()
-        from searchlite_spark.cli import cmd_compact
+        from searchlite_spark.index.maintenance import compact_in_place
 
         with state.writer_lock:
-            cmd_compact(state.spark, state.index_path)
-        state.refresh()
+            # versioned-table rewrite: the old snapshot's dirs survive
+            # until the NEXT compaction, so searches running (or even
+            # mid-flight) on the cached reader never lose their files;
+            # refresh() just swaps new requests onto the new snapshot
+            compact_in_place(state.spark, state.index_path)
+            state.refresh()
         return 200, {"compacted": True}
 
     if method == "POST" and path == "/search":
@@ -355,7 +359,10 @@ class _Handler(BaseHTTPRequestHandler):
         path = urlparse(self.path).path
         length = int(self.headers.get("Content-Length") or 0)
         if length > self.state.args.max_body_bytes:
-            # lib.rs:346-360 map_413
+            # lib.rs:346-360 map_413.  The oversized body is NOT read:
+            # close the connection so unread bytes can't be parsed as
+            # the next request on a keep-alive socket
+            self.close_connection = True
             self._error(413, "payload_too_large", "request body exceeds the limit")
             return
         body = self.rfile.read(length) if length else b""

@@ -168,7 +168,9 @@ def append_documents(
     # serialized disk cache, same rationale as the full build
     batch_postings = batch_postings.persist(StorageLevel.DISK_ONLY)
     try:
-        batch_postings.write.mode("append").parquet(f"{path}/postings")
+        batch_postings.write.mode("append").parquet(
+            f"{path}/{index.table_dir('postings')}"
+        )
 
         # ---- docstore append (schema-aligned with the existing files;
         # range-clustered by doc_id like the base build, so the
@@ -177,7 +179,7 @@ def append_documents(
         docs.select(*store_cols).repartitionByRange(
             max(num_partitions // 4, 1), "doc_id"
         ).sortWithinPartitions("doc_id").write.mode("append").parquet(
-            f"{path}/docs"
+            f"{path}/{index.table_dir('docs')}"
         )
 
         # ---- term dictionary merge (cost ∝ vocabulary) ----
@@ -215,7 +217,9 @@ def append_documents(
             block_size = int(manifest.get("block_size", 128))
             batch_postings.select("term", "doc_id", "tf", "dl").mapInPandas(
                 lambda it: pack_partition(it, block_size), BLOCK_SCHEMA
-            ).write.mode("append").parquet(f"{path}/blocks")
+            ).write.mode("append").parquet(
+                f"{path}/{index.table_dir('blocks')}"
+            )
     finally:
         batch_postings.unpersist()
 

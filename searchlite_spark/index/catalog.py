@@ -65,28 +65,43 @@ class Index:
             **self.manifest.get("options", {}),
         }
 
+    def table_dir(self, name: str) -> str:
+        """Relative directory of a table, resolved through the
+        manifest's versioned pointer (``<name>_dir``) when present.
+        Every table is versioned the way the term dictionary has been
+        since round 6 (``terms_v<uuid>``): a rewrite lands in fresh
+        ``<table>_v<uuid>`` dirs and ONE atomic manifest write flips
+        all pointers — readers holding the old manifest keep reading
+        the old dirs (true snapshot isolation), and in-place compaction
+        never breaks an in-flight query the way a rename-swap of the
+        index directory would (the old snapshot's file listings
+        survive untouched until the NEXT compaction GCs them)."""
+        return self.manifest.get(f"{name}_dir", name)
+
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "docs"))
+        return self.spark.read.parquet(
+            os.path.join(self.path, self.table_dir("docs"))
+        )
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        return self.spark.read.parquet(
+            os.path.join(self.path, self.table_dir("postings"))
+        )
 
     def terms(self) -> DataFrame:
-        # the term dictionary is the one table appends must REWRITE
-        # (per-term totals merge), so it is versioned through the
-        # manifest: append_documents writes terms_v<uuid> and commits
-        # the pointer in the same atomic manifest write — readers can
-        # never observe a half-swapped dictionary (old layout: plain
-        # "terms", rmtree+rename, with a visible missing-table window)
+        # the term dictionary was the FIRST versioned table (appends
+        # must rewrite it wholesale); table_dir generalizes the pattern
         return self.spark.read.parquet(
-            os.path.join(self.path, self.manifest.get("terms_dir", "terms"))
+            os.path.join(self.path, self.table_dir("terms"))
         )
 
     def blocks(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "blocks"))
+        return self.spark.read.parquet(
+            os.path.join(self.path, self.table_dir("blocks"))
+        )
 
     def has_blocks(self) -> bool:
-        return os.path.isdir(os.path.join(self.path, "blocks"))
+        return os.path.isdir(os.path.join(self.path, self.table_dir("blocks")))
 
     def tombstones(self) -> DataFrame:
         # like the term dictionary, the tombstone set is versioned

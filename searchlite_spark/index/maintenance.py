@@ -19,6 +19,7 @@ within files).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import SparkSession, functions as F
@@ -52,6 +53,74 @@ def compact(
     APPLIES any pending tombstones (stats recomputed over survivors —
     the reference's tombstones-at-segment-merge reconciliation)."""
     return _rewrite(spark, index_path, out_path, [], num_partitions)
+
+
+_VERSIONED_TABLES = ("docs", "postings", "terms", "blocks")
+
+
+def gc_stale_tables(index_path: str) -> list[str]:
+    """Remove table directories the CURRENT manifest does not
+    reference: versions superseded by a later in-place compaction, and
+    dirs orphaned by a crash between table write and manifest commit.
+    Safe by construction — the pointed-to dirs are never touched, and
+    anything unreferenced is invisible to every reader that opens the
+    index now.  Called at the START of the next compaction, so readers
+    still draining the PREVIOUS snapshot keep their files for a whole
+    generation (the append-path terms GC is more eager; compaction can
+    afford the grace period because its superseded copy is the large
+    one)."""
+    import os
+    import shutil
+
+    manifest = Index(index_path, None).manifest  # manifest read is file-only
+    families = _VERSIONED_TABLES + ("tombstones",)
+    keep = {manifest.get(f"{t}_dir", t) for t in families}
+    removed = []
+    for name in os.listdir(index_path):
+        base = name.split("_v", 1)[0]
+        if base not in families:
+            continue
+        if name in keep or not os.path.isdir(os.path.join(index_path, name)):
+            continue
+        shutil.rmtree(os.path.join(index_path, name), ignore_errors=True)
+        removed.append(name)
+    return removed
+
+
+def compact_in_place(
+    spark: SparkSession,
+    index_path: str,
+    num_partitions: int | None = None,
+) -> Index:
+    """Compaction that leaves the index at its own path with ZERO
+    reader downtime: tables are rewritten into fresh ``<table>_v<uuid>``
+    dirs and one atomic manifest write flips every pointer.  Open
+    readers (e.g. the HTTP server's cached Searcher, or another
+    process) keep serving the old snapshot from the old dirs; the old
+    dirs are reclaimed by the NEXT compaction's gc_stale_tables, by
+    which point that snapshot's readers are a full generation stale.
+    Disk holds at most two generations between compactions — the price
+    of snapshot isolation, same trade the reference makes keeping old
+    segments until merge completes."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    gc_stale_tables(index_path)
+    out = _rewrite(
+        spark, index_path, index_path, [], num_partitions,
+        version=_uuid.uuid4().hex,
+    )
+    # legacy layout guard: a PLAIN "tombstones" dir (pre-pointer era)
+    # was just folded into the rewrite, but has_tombstones() would
+    # still see it as live and wrongly re-filter — remove it now.
+    # Pointer-era tombstones_v* dirs instead get the one-generation
+    # grace period via the next gc_stale_tables (old-snapshot readers
+    # need them to keep masking deletes).
+    plain = os.path.join(index_path, "tombstones")
+    if os.path.isdir(plain):
+        shutil.rmtree(plain, ignore_errors=True)
+    return out
 
 
 # hard ceiling on the pending tombstone set: queries stay correct at
@@ -202,10 +271,25 @@ def _rewrite(
     num_partitions: int | None,
     drop_orphan_postings: bool = False,
     drop_uncommitted: bool = False,
+    version: str | None = None,
 ) -> Index:
+    """version=None: plain table names (docs/postings/terms/blocks) —
+    the out-of-place rewrite.  version=<uuid>: every table lands in
+    ``<table>_v<uuid>`` and the manifest records the pointers, which
+    makes ``out_path == index_path`` safe (in-place compaction): the
+    source snapshot's directories are untouched, and the atomic
+    manifest write is the only visibility flip — the same contract the
+    versioned term dictionary has had since the append path."""
     t0 = time.time()
     src = Index(index_path, spark)
     manifest = dict(src.manifest)
+    if version is None and os.path.abspath(out_path) == os.path.abspath(index_path):
+        raise ValueError(
+            "in-place rewrite requires versioned table dirs "
+            "(use compact_in_place / pass version=)"
+        )
+    suffix = f"_v{version}" if version else ""
+    tdir = {t: f"{t}{suffix}" for t in ("docs", "postings", "terms", "blocks")}
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -254,10 +338,10 @@ def _rewrite(
 
     # filtered copies: no shuffle — per-file filters preserve the
     # (term, doc_id) / doc_id sorted layout
-    postings.write.mode("overwrite").parquet(f"{out_path}/postings")
-    docs.write.mode("overwrite").parquet(f"{out_path}/docs")
-    new_postings = spark.read.parquet(f"{out_path}/postings")
-    new_docs = spark.read.parquet(f"{out_path}/docs")
+    postings.write.mode("overwrite").parquet(f"{out_path}/{tdir['postings']}")
+    docs.write.mode("overwrite").parquet(f"{out_path}/{tdir['docs']}")
+    new_postings = spark.read.parquet(f"{out_path}/{tdir['postings']}")
+    new_docs = spark.read.parquet(f"{out_path}/{tdir['docs']}")
 
     (
         new_postings.groupBy("term")
@@ -270,9 +354,9 @@ def _rewrite(
         .repartitionByRange(max(num_partitions // 4, 1), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
-        .parquet(f"{out_path}/terms")
+        .parquet(f"{out_path}/{tdir['terms']}")
     )
-    terms_df = spark.read.parquet(f"{out_path}/terms")
+    terms_df = spark.read.parquet(f"{out_path}/{tdir['terms']}")
 
     agg = new_docs.agg(
         F.count("*").alias("n"), F.max("doc_id").alias("mx")
@@ -290,7 +374,7 @@ def _rewrite(
         build_block_postings(
             spark,
             new_postings,
-            f"{out_path}/blocks",
+            f"{out_path}/{tdir['blocks']}",
             block_size=int(manifest.get("block_size", 128)),
             num_partitions=num_partitions,
         )
@@ -298,9 +382,11 @@ def _rewrite(
     import uuid as _uuid
 
     manifest["stats"] = stats
-    # the rewrite wrote a fresh dictionary at <out>/terms; don't carry a
-    # stale terms_v* pointer from the source manifest
-    manifest["terms_dir"] = "terms"
+    # point every table at the freshly-written version (plain names
+    # when version is None — the catalog defaults make that a no-op
+    # for pre-pointer manifests)
+    for t, d in tdir.items():
+        manifest[f"{t}_dir"] = d
     # tombstones were folded into the rewrite — the output has none
     manifest.pop("tombstones_dir", None)
     manifest.setdefault("lineage", {})

@@ -29,14 +29,14 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from searchlite_spark.query.aggs import sample_uniform
 
 
-def mixture_fractions(
-    observed: dict, target: dict, allow_upsample: bool = False
-) -> dict:
+def mixture_fractions(observed: dict, target: dict) -> dict:
     """Per-stratum keep fractions that reshape ``observed`` counts into
     the ``target`` mixture, taking the LARGEST corpus achievable
     without upsampling: the binding stratum (smallest observed/target
     ratio) keeps fraction 1.0 and every other stratum downsamples to
     match.  Strata absent from ``target`` get fraction 0.0 (dropped).
+    Upsampling (fractions > 1) is out of scope by construction —
+    ``sample_by_fractions`` is a filter and cannot repeat rows.
 
     Pure driver-side arithmetic over a tiny {stratum: count} dict —
     counts come from one ``groupBy(stratum).count()`` over the corpus.
@@ -48,13 +48,11 @@ def mixture_fractions(
     if missing:
         raise ValueError(f"target strata with no observed documents: {missing}")
     total_w = sum(tw.values())
-    # T = output size; bounded by the stratum that runs out first
+    # T = output size; bounded by the stratum that runs out first —
+    # that stratum's fraction is exactly 1.0, so no fraction exceeds 1
     t_max = min(observed[k] / (w / total_w) for k, w in tw.items())
-    out = {}
-    for k, w in tw.items():
-        frac = (w / total_w) * t_max / observed[k]
-        out[k] = min(frac, 1.0) if not allow_upsample else frac
-    return out
+    return {k: min((w / total_w) * t_max / observed[k], 1.0)
+            for k, w in tw.items()}
 
 
 def sample_by_fractions(
@@ -76,18 +74,27 @@ def sample_by_fractions(
         mixed = sample_by_fractions(
             df, "source", mixture_fractions(counts, {"wiki": 2, "web": 1}))
     """
+    if not fractions:
+        raise ValueError("fractions must name at least one stratum")
     for k, v in fractions.items():
         if not (0.0 <= float(v) <= 1.0):
             raise ValueError(f"fraction for stratum {k!r} must be in [0, 1]")
-    frac_col = None
-    for k, v in fractions.items():
-        cond = F.col(strata_col) == F.lit(k)
-        frac_col = F.when(cond, F.lit(float(v))) if frac_col is None \
-            else frac_col.when(cond, F.lit(float(v)))
-    if frac_col is None:
-        raise ValueError("fractions must name at least one stratum")
-    frac_col = frac_col.otherwise(F.lit(0.0))
+    # a literal-map lookup, not a chained CASE WHEN: thousands of
+    # strata (per-domain mixtures) would otherwise build an expression
+    # tree thousands of levels deep and blow up codegen
+    frac_col = F.coalesce(
+        _literal_map(fractions, strata_col, float), F.lit(0.0)
+    )
     return df.where(sample_uniform(id_col=id_col, seed=seed) < frac_col)
+
+
+def _literal_map(mapping: dict, key_col: str, cast):
+    """map<literal...>[col] lookup column; NULL for absent keys."""
+    pairs = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(cast(v)))
+    return F.create_map(*pairs)[F.col(key_col)]
 
 
 def sample_tokens(
@@ -110,7 +117,7 @@ def sample_tokens(
     {stratum: budget} dict — dict strata only, others dropped.
 
     Returns ``(<id_col>, <strata_col>, n_tokens, tokens_before)`` for
-    the kept documents.  Token counts follow ``n_tokens_col`` when
+    the kept documents.  Rows with a NULL stratum are dropped.  Token counts follow ``n_tokens_col`` when
     given, else whitespace tokenization (chunk_documents/pack_sequences
     compatible).  Deterministic and partition-independent: the subset
     depends only on (stratum, id) order.
@@ -137,17 +144,26 @@ def sample_tokens(
         F.col(strata_col).cast("string").alias("_stratum"),
         F.col(id_col),
         n.alias("n_tokens"),
-    ).where(F.col("n_tokens") > 0)
+    ).where(
+        # NULL strata are dropped, not crashed on: they have no budget
+        # entry and would poison both the driver-side offset sort and
+        # the kernel's pandas groupby
+        F.col("n_tokens") > 0
+    ).where(F.col("_stratum").isNotNull())
     if budgets is not None:
         slim = slim.where(F.col("_stratum").isin(*budgets.keys()))
     slim = (
         slim.repartitionByRange(num_partitions, "_stratum", id_col)
         .sortWithinPartitions("_stratum", id_col)
     )
-
-    from pyspark import StorageLevel
-
-    slim = slim.persist(StorageLevel.DISK_ONLY)
+    # localCheckpoint (not persist): the offsets job and the kernel job
+    # must read the SAME materialized partitions, and the blocks must
+    # die with the plan — a CacheManager persist survives until an
+    # explicit unpersist the caller can't issue (the handle is
+    # function-local), leaking executor storage per call in long-lived
+    # sessions.  Locally-checkpointed blocks are GC-cleaned when the
+    # returned plan is dropped.
+    slim = slim.localCheckpoint(eager=True)
     totals = (
         slim.select(F.spark_partition_id().alias("pid"), "_stratum", "n_tokens")
         .groupBy("pid", "_stratum")
@@ -189,11 +205,10 @@ def sample_tokens(
 
     spans = slim.mapInPandas(grouped_running_sum, out_type)
     if budgets is not None:
-        cap = None
-        for k, v in budgets.items():
-            cond = F.col("_stratum") == F.lit(k)
-            cap = F.when(cond, F.lit(v)) if cap is None else cap.when(cond, F.lit(v))
-        keep = F.col("tokens_before") < cap
+        # literal-map lookup for the same codegen-depth reason as
+        # sample_by_fractions; rows were already filtered to budget
+        # strata so the lookup never misses
+        keep = F.col("tokens_before") < _literal_map(budgets, "_stratum", int)
     else:
         keep = F.col("tokens_before") < F.lit(int(token_budget))
     return spans.where(keep).select(

@@ -134,8 +134,8 @@ def pack_sequences(
     global running sum via an un-partitioned window moves EVERY row
     into a single partition — the canonical Spark scale-killer.
     Instead the prefix sum is two-phase over a slim ``(id, n)``
-    projection (~16 bytes/doc, persisted to executor disk so the
-    tokenize scan runs once):
+    projection (~16 bytes/doc, locally checkpointed so the tokenize
+    scan runs once and the blocks die with the returned plan):
 
     1. range-partition + sort by ``id_col``; one tiny job collects the
        per-partition token totals (``num_partitions`` rows) and the
@@ -166,12 +166,14 @@ def pack_sequences(
         .sortWithinPartitions(id_col)
     )
 
-    from pyspark import StorageLevel
-
-    # DISK_ONLY: the offsets job and the kernel job must see the SAME
-    # materialized partitions (and the tokenize scan should run once);
-    # callers can unpersist once the result is written out
-    slim = slim.persist(StorageLevel.DISK_ONLY)
+    # localCheckpoint: the offsets job and the kernel job must see the
+    # SAME materialized partitions (and the tokenize scan should run
+    # once).  Not persist(): CacheManager entries live until an
+    # explicit unpersist that the caller cannot issue (the handle is
+    # function-local), which would leak executor storage per call in a
+    # long-lived session; checkpoint blocks are GC-cleaned with the
+    # returned plan.
+    slim = slim.localCheckpoint(eager=True)
     totals = (
         slim.select(F.spark_partition_id().alias("pid"), "n")
         .groupBy("pid")

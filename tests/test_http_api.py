@@ -160,3 +160,61 @@ def test_require_existing_index(spark, tmp_path):
                       require_existing_index=True),
             spark,
         )
+
+
+def test_http_review_fixes(served):
+    """Regression cases from the session-4 review: error-contract gaps
+    that previously leaked 500s or bypassed checks."""
+    call = served
+    # schema errors beyond SchemaError (unknown analyzer -> plain
+    # ValueError from the schema module) must map to 400, not 500 —
+    # exercised via a second server with no index yet
+    # (this served index exists, so /init 409s; see below test)
+    # invalid UTF-8 NDJSON -> 400 invalid_document, not 500 internal
+    status, resp = call("POST", "/add", raw=b"\xff\xfe{}")
+    assert status == 400 and resp["error"]["type"] == "invalid_document"
+    assert "UTF-8" in resp["error"]["reason"]
+    # DEL (0x7f) rejected — the id contract is shared with the CLI
+    status, resp = call("POST", "/delete", {"ids": ["a\x7fb"]})
+    assert status == 400 and resp["error"]["type"] == "invalid_id"
+
+
+def test_http_missing_index_and_bad_schema(spark, tmp_path):
+    import threading
+
+    server = make_server(
+        ServeArgs(index=str(tmp_path / "idx"), bind="127.0.0.1:0"), spark)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def call(method, path, body=None, raw=None):
+        data = raw if raw is not None else (
+            json.dumps(body).encode() if body is not None else None)
+        req = urllib.request.Request(base + path, data=data, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        # an EMPTY /add body must still 404 on a missing index, never
+        # 200 {"queued": 0}
+        status, resp = call("POST", "/add", raw=b"\n\n")
+        assert status == 404 and resp["error"]["type"] == "index_missing"
+        # unknown analyzer raises the schema module's plain ValueError:
+        # must be 400 init_failed, not 500 internal
+        status, resp = call("POST", "/init", {
+            "doc_id_field": "_id",
+            "text_fields": [{"name": "t", "analyzer": "nope",
+                             "stored": True, "indexed": True}],
+        })
+        assert status == 400 and resp["error"]["type"] == "init_failed"
+        assert "unknown analyzer" in resp["error"]["reason"]
+        # a failed init must leave no index behind
+        status, _ = call("GET", "/stats")
+        assert status == 404
+    finally:
+        server.shutdown()
+        server.server_close()

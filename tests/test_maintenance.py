@@ -120,3 +120,46 @@ def test_verify_text_invariant(spark, tmp_path_factory):
         idx, corpus.where(F.col("url") != "https://ex.com/3"), key_col="url"
     )
     assert res_m["missing_in_source"] == 1
+
+
+def test_compact_in_place_snapshot_isolation(spark, tmp_path):
+    """In-place compaction must never break an open reader: tables land
+    in fresh versioned dirs, the manifest flips atomically, the old
+    generation survives until the NEXT compaction's GC."""
+    import os
+
+    from searchlite_spark.index import IndexSchema, TextField, build_index
+    from searchlite_spark.index.catalog import Index
+    from searchlite_spark.index.maintenance import compact_in_place
+    from searchlite_spark.query.engine import Searcher
+
+    corpus = spark.createDataFrame(
+        [(str(i), f"rust doc {i} with shared words") for i in range(40)],
+        "_id STRING, body STRING",
+    )
+    schema = IndexSchema(doc_id_field="_id", text_fields=(TextField("body"),))
+    path = str(tmp_path / "idx")
+    build_index(spark, corpus, schema, path, num_partitions=2)
+
+    old_reader = Searcher(Index(path=path, spark=spark))
+    before = old_reader.search({"query": "rust", "limit": 5})
+    assert before["total_hits_estimate"] == 40
+
+    compact_in_place(spark, path)
+    # the OLD reader still serves its snapshot — its parquet files were
+    # not renamed or deleted (this is exactly what the rename-swap
+    # design could not provide)
+    again = old_reader.search({"query": "shared", "limit": 5})
+    assert again["total_hits_estimate"] == 40
+    # a NEW reader sees the compacted generation through the pointers
+    idx2 = Index(path=path, spark=spark)
+    assert idx2.manifest["docs_dir"].startswith("docs_v")
+    assert Searcher(idx2).search({"query": "rust", "limit": 5})[
+        "total_hits_estimate"] == 40
+
+    # two compactions later, generation 0 (plain dirs) and generation 1
+    # are gone; exactly the current + previous versioned dirs remain
+    compact_in_place(spark, path)
+    names = sorted(n for n in os.listdir(path) if n.startswith("docs"))
+    assert len(names) == 2 and all(n.startswith("docs_v") for n in names)
+    assert not os.path.isdir(os.path.join(path, "docs"))

@@ -108,3 +108,20 @@ def test_sample_tokens_pretokenized_col(corpus):
     b = sorted(map(tuple, sample_tokens(
         pre, 40, strata_col="source", n_tokens_col="nt").collect()))
     assert a == b
+
+
+def test_sample_tokens_null_strata_dropped(spark):
+    rows = [(1, "a", "x y z"), (2, None, "x y"), (3, "a", "x")]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    got = sorted(map(tuple, sample_tokens(df, 100, strata_col="source")
+                     .collect()))
+    assert got == [(1, "a", 3, 0), (3, "a", 1, 3)]  # NULL stratum gone
+
+
+def test_sample_by_fractions_many_strata(spark):
+    """The stratum lookup is a literal map, not a CASE WHEN chain —
+    a 2000-stratum mixture must plan and run."""
+    rows = [(i, "d%d" % (i % 2000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    fr = {("d%d" % s): 1.0 for s in range(2000)}
+    assert sample_by_fractions(df, "source", fr).count() == 4000
