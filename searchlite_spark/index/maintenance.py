@@ -184,6 +184,44 @@ def stage_tombstone_set(
     return dirname, existing + n_new
 
 
+def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Prune the snapshot log (Iceberg's ``expire_snapshots``): drop all
+    but the newest ``keep_last`` snapshot manifest copies, always
+    retaining the CURRENT version's copy.  Returns the expired version
+    numbers, oldest first.
+
+    Data-dir lifecycle is deliberately NOT coupled to the log: table
+    dirs are reclaimed by the existing generation GC
+    (``gc_stale_tables`` at the next compaction; eager ``terms_v*`` /
+    ``tombstones_v*`` GC on append/delete commits), so snapshots never
+    pin disk — the trade is that a logged snapshot older than one GC
+    generation raises :class:`SnapshotExpiredError` on read
+    (``list_snapshots`` shows it ``readable=False`` first)."""
+    import os
+    import re
+
+    keep_last = max(int(keep_last), 1)
+    snap_dir = os.path.join(path, "snapshots")
+    if not os.path.isdir(snap_dir):
+        return []
+    current = Index(path, None).manifest.get("version")
+    files = []
+    for name in sorted(os.listdir(snap_dir)):
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:
+            files.append((int(m.group(1)), name))
+    expired = []
+    for version, name in files[: max(len(files) - keep_last, 0)]:
+        if version == current:
+            continue
+        try:
+            os.remove(os.path.join(snap_dir, name))
+            expired.append(version)
+        except OSError:
+            pass
+    return expired
+
+
 def gc_tombstone_dirs(path: str, keep: str | None) -> None:
     """Post-commit GC of superseded / orphaned tombstone sets (same
     best-effort contract as the terms_v* GC in append_documents:
