@@ -1076,6 +1076,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("canonical_url")
         )
 
+    def media_pipeline_q(spark, sf_dir):
+        """Multimodal plumbing end-to-end (textops/multimodal.py):
+        documents become opaque BINARY media (a per-lang magic header +
+        the UTF-8 text bytes — derived IN the query, deterministic),
+        then ride the real mapInPandas pipeline: attach_media_meta
+        (mime sniff + byte count + content hash), extract_features
+        (fixed-dim stub embedding), sample_frames (deterministic
+        container slicing).  The media decode itself stays a documented
+        stub (no media libs in this sandbox); what the oracle verifies
+        is everything Spark-side — schema, Arrow batch mechanics, NULL
+        handling, per-mime grouping, and the frame-count arithmetic
+        min(max(n_bytes//256, 1), 4) — replayed in DuckDB from octet
+        lengths (sha1 distinctness == distinct text within a mime
+        group, since the header is constant per group)."""
+        from searchlite_spark.textops import (
+            attach_media_meta,
+            extract_features,
+            sample_frames,
+        )
+
+        base = _docs(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.when(
+                    F.col("lang") == "en", F.lit(bytes.fromhex("ffd8ff"))
+                ).otherwise(F.lit(b"\x89PNG\r\n\x1a\n")),
+                F.encode("text", "UTF-8"),
+            ).alias("media"),
+        )
+        df = extract_features(attach_media_meta(base), dim=64)
+        per_doc = df.select(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.sha1").alias("sha1"),
+            (F.size("features") == 64).cast("long").alias("feat_ok"),
+        )
+        agg = per_doc.groupBy("mime").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.count_distinct("sha1").alias("n_uniq"),
+            F.sum("feat_ok").alias("n_feat64"),
+        )
+        frames = (
+            sample_frames(df, every_ms=256, max_frames=4)
+            .groupBy(F.col("meta.mime").alias("mime"))
+            .agg(F.count("*").alias("n_frames"))
+        )
+        return agg.join(F.broadcast(frames), "mime").orderBy("mime")
+
     def chunk_documents_q(spark, sf_dir):
         # window 8 / overlap 2 so most docs produce several chunks
         from searchlite_spark.textops import chunk_documents
@@ -2187,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gopher_quality=gopher_quality_q,
         url_dedup_latest=url_dedup_q,
         chunk_documents=chunk_documents_q,
+        media_pipeline=media_pipeline_q,
         pack_sequences=pack_sequences_q,
         token_budget_sample=token_budget_sample_q,
         redact_pii=redact_pii_q,
@@ -2252,8 +2303,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, re-verified externally at sf0.01+sf1 THIS round — BENCH.md
     # round-6 gate sections; aggs.py untouched all round, and the agg
     # family keeps ELEVEN in-window rows re-checking the same funnel).
+    # Session 5 also adds media_pipeline (textops/multimodal.py — the
+    # previously pytest-only binary-column plumbing now has a full
+    # DuckDB oracle: mime grouping, byte counts, content-hash
+    # distinctness, fixed-dim feature shape, frame-count arithmetic),
+    # paid for by deferring events_top_users (green r04, re-verified
+    # externally at sf0.01+sf1 this round; aggs.py untouched all
+    # round, and the events family keeps events_type_daily,
+    # events_derivative, and events_bucket_stats in-window).
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
+        "events_top_users",      # green r04 + sf0.01/sf1 re-verification this
+                                 # round; aggs.py untouched in r06; three
+                                 # events siblings stay in-window — deferred
+                                 # to admit the NEW media_pipeline row
+                                 # (MUST return in r07: driver evidence ages
+                                 # to two rounds at r06 judgment)
         "agg_value_count",       # green r04 + sf0.01/sf1 re-verification this
                                  # round; aggs.py untouched in r06; eleven
                                  # sibling agg rows stay in-window — deferred
@@ -3135,6 +3200,29 @@ SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) * 86400000
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value_r
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # media_pipeline: the binary column is DERIVED in the query (magic
+    # header per lang + UTF-8 text bytes), so DuckDB replays every
+    # Spark-side fact from octet lengths: the stub decode's mime sniff
+    # maps header->mime 1:1, n_bytes = header + text bytes, sha1
+    # distinctness == distinct text within a mime group (constant
+    # header), every feature vector has dim 64 (non-empty media), and
+    # the frame stub emits min(max(n_bytes//256, 1), 4) frames per doc
+    O["media_pipeline"] = """
+WITH m AS (
+  SELECT doc_id, text,
+         CASE WHEN lang = 'en' THEN 'image/jpeg' ELSE 'image/png' END AS mime,
+         CAST(CASE WHEN lang = 'en' THEN 3 ELSE 8 END
+              + octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT mime,
+       count(*) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+       count(DISTINCT text) AS n_uniq,
+       count(*) AS n_feat64,
+       CAST(sum(least(greatest(n_bytes // 256, 1), 4)) AS BIGINT) AS n_frames
+FROM m GROUP BY mime ORDER BY mime"""
 
     # snapshot_search: a time-travel read AS OF the pre-delete commit
     # serves exactly what that snapshot served when current — i.e. the

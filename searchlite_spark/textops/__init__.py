@@ -3,6 +3,11 @@ from searchlite_spark.textops.transform import (  # noqa: F401
     pack_sequences,
     redact_pii,
 )
+from searchlite_spark.textops.multimodal import (  # noqa: F401
+    attach_media_meta,
+    extract_features,
+    sample_frames,
+)
 from searchlite_spark.textops.sampling import (  # noqa: F401
     mixture_fractions,
     sample_by_fractions,
