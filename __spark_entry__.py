@@ -1076,6 +1076,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("canonical_url")
         )
 
+    def collocations_q(spark, sf_dir):
+        """Top-20 adjacent-bigram collocations by PMI with min_count=5
+        (textops/quality.py collocations_pmi) — phrase mining over the
+        corpus; the oracle replays unigram/bigram counts and the ln
+        ratio from the same whitespace tokens, ranked by the rounded
+        PMI with a bigram-text tie-break."""
+        from searchlite_spark.textops import collocations_pmi
+
+        return collocations_pmi(
+            _docs(spark, sf_dir), min_count=5, top_k=20
+        )
+
     def media_pipeline_q(spark, sf_dir):
         """Multimodal plumbing end-to-end (textops/multimodal.py):
         documents become opaque BINARY media (a per-lang magic header +
@@ -2237,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gopher_quality=gopher_quality_q,
         url_dedup_latest=url_dedup_q,
         chunk_documents=chunk_documents_q,
+        collocations_pmi=collocations_q,
         media_pipeline=media_pipeline_q,
         pack_sequences=pack_sequences_q,
         token_budget_sample=token_budget_sample_q,
@@ -2311,8 +2324,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # externally at sf0.01+sf1 this round; aggs.py untouched all
     # round, and the events family keeps events_type_daily,
     # events_derivative, and events_bucket_stats in-window).
+    # Session 5 also adds collocations_pmi (textops/quality.py — PMI
+    # phrase mining, a NEW text-analysis operator), paid for by
+    # deferring doc_fingerprint (green r04, re-verified externally at
+    # sf0.01+sf1 this round; quality.py's change is purely ADDITIVE —
+    # the fingerprint path is untouched, and the module keeps THREE
+    # in-window rows: token_stats, quality_score, collocations_pmi).
     # Deferred ≠ dropped: still registered and pytest-covered.
     _deferred = [
+        "doc_fingerprint",       # green r04 + sf0.01/sf1 re-verification this
+                                 # round; quality.py change additive-only
+                                 # (new collocations_pmi fn), fingerprint
+                                 # path untouched; three sibling rows stay
+                                 # in-window — deferred to admit the NEW
+                                 # collocations_pmi row (MUST return in r07)
         "events_top_users",      # green r04 + sf0.01/sf1 re-verification this
                                  # round; aggs.py untouched in r06; three
                                  # events siblings stay in-window — deferred
@@ -3200,6 +3225,40 @@ SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) * 86400000
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value_r
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # collocations_pmi: unigram/bigram counts + the ln PMI ratio
+    # replayed from the same single-space tokens; ranked by PMI rounded
+    # to 4 decimals (both engines) with a (w1, w2) tie-break so the
+    # LIMIT boundary is deterministic and engine-portable
+    O["collocations_pmi"] = """
+WITH d AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT u.w, count(*)::BIGINT AS c FROM d, unnest(d.toks) AS u(w) GROUP BY 1
+),
+big AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         count(*)::BIGINT AS c12
+  FROM d, unnest([
+    toks[i] || ' ' || toks[i + 1]
+    for i in generate_series(1, greatest(len(toks) - 1, 0))
+  ]) AS b(bg)
+  GROUP BY 1, 2
+),
+n AS (
+  SELECT (SELECT sum(c) FROM uni)::DOUBLE AS nt,
+         (SELECT sum(c12) FROM big)::DOUBLE AS nb
+)
+SELECT w1, w2, c12,
+       round(ln((c12 / n.nb) / ((u1.c / n.nt) * (u2.c / n.nt))), 4) AS pmi_r
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+CROSS JOIN n
+WHERE c12 >= 5
+ORDER BY pmi_r DESC, w1, w2 LIMIT 20"""
 
     # media_pipeline: the binary column is DERIVED in the query (magic
     # header per lang + UTF-8 text bytes), so DuckDB replays every

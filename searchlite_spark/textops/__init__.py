@@ -54,6 +54,7 @@ from searchlite_spark.textops.quality import (  # noqa: F401
     quality_score,
     langid,
     doc_fingerprint,
+    collocations_pmi,
 )
 from searchlite_spark.textops.extract import (  # noqa: F401
     extract_text,

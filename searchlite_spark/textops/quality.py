@@ -93,6 +93,68 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     return df.select(F.col(id_col), best.alias("pred_lang"))
 
 
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """(w1, w2, c12, pmi_r) — top-k adjacent-bigram collocations by
+    pointwise mutual information (phrase mining for corpus analysis):
+
+        pmi = ln( (c12 / Nb) / ((c1 / Nt) * (c2 / Nt)) )
+
+    over whitespace tokens, where c1/c2/c12 are unigram/bigram counts,
+    Nt total tokens, Nb total bigrams.  Bigrams with c12 < min_count
+    are noise-filtered (PMI is unstable at low counts).  Ranked by
+    pmi rounded to 4 decimals (ties broken by bigram text, so the
+    ordering is deterministic and engine-portable).
+
+    100-TB shape: the text column never shuffles — per-doc token
+    arrays explode map-side into two hash aggregates (both map-side
+    partial, so head-token skew collapses before the exchange), then
+    the min_count-filtered bigram table joins the unigram dictionary
+    twice (AQE picks broadcast when the vocabulary is small) and the
+    two scalar totals ride in as broadcast single-row joins — no
+    driver collect anywhere."""
+    toks = _tokens(F.col(text_col))
+    tdf = df.select(toks.alias("toks"))
+    uni = (
+        tdf.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bigrams = tdf.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (t, i) -> struct(t AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big_all = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    nt = uni.agg(F.sum("c").cast("double").alias("nt"))
+    nb = big_all.agg(F.sum("c12").cast("double").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12") / F.col("nb"))
+        / ((F.col("c1") / F.col("nt")) * (F.col("c2") / F.col("nt")))
+    )
+    return (
+        big_all.where(F.col("c12") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "c12", F.round(pmi, 4).alias("pmi_r")
+        )
+        .orderBy(F.desc("pmi_r"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint LONG) — rolling polynomial hash over tokens:
     acc = (acc * 131 + tval) mod (2^31 - 1), where tval =

@@ -1,0 +1,47 @@
+"""PMI collocations: hand-computed counts/PMI on a tiny corpus,
+min_count noise gate, deterministic rank order, partition invariance."""
+
+from __future__ import annotations
+
+import math
+
+from searchlite_spark.textops import collocations_pmi
+
+
+def _df(spark, texts, n_parts=1):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    ).repartition(n_parts)
+
+
+def test_pmi_hand_computed(spark):
+    # unigrams: a=3 b=3 c=1 (Nt=7); bigrams: ab=3 ba=1 bc=1 (Nb=5)
+    df = _df(spark, ["a b a b c", "a b"])
+    out = collocations_pmi(df, min_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"], r["c12"]) for r in out] == [("a", "b", 3)]
+    expect = round(math.log((3 / 5) / ((3 / 7) * (3 / 7))), 4)
+    assert out[0]["pmi_r"] == expect
+
+
+def test_min_count_gates_noise(spark):
+    df = _df(spark, ["x y", "p q p q"])
+    # bigrams: xy=1, pq=2, qp=1
+    got = {(r["w1"], r["w2"]) for r in
+           collocations_pmi(df, min_count=2, top_k=10).collect()}
+    assert got == {("p", "q")}
+
+
+def test_rank_order_and_tiebreak(spark):
+    # two bigrams with identical counts everywhere -> identical PMI;
+    # tie must break on (w1, w2) text order
+    df = _df(spark, ["m n", "m n", "y z", "y z"])
+    out = collocations_pmi(df, min_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("m", "n"), ("y", "z")]
+    assert out[0]["pmi_r"] == out[1]["pmi_r"]
+
+
+def test_partition_invariance(spark):
+    texts = [f"t{i % 5} t{(i + 1) % 5} filler{i % 7}" for i in range(200)]
+    a = collocations_pmi(_df(spark, texts, 1), min_count=3, top_k=15).collect()
+    b = collocations_pmi(_df(spark, texts, 8), min_count=3, top_k=15).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
