@@ -12,7 +12,12 @@ Mirrors searchlite-cli/src/main.rs:33-105 subcommand-for-subcommand:
     search <index> -q ... [flags]    run a query, print the response JSON
     http --index <index> [...]       serve the HTTP API (http_api.py)
     inspect <index>                  print the manifest
+    snapshots <index>                list the snapshot log (time travel)
     compact <index>                  rewrite the index applying tombstones
+
+``search --as-of N`` is a lake-layout extension (no reference
+equivalent): it serves the query from committed snapshot N via
+catalog.load_snapshot, failing loudly when the snapshot has expired.
 
 Differences from the reference, all Spark-shaped and documented inline:
 
@@ -483,11 +488,21 @@ def build_search_request(args) -> dict:
     return req
 
 
-def cmd_search(spark, index: str, request: dict) -> dict:
-    from searchlite_spark.index.catalog import Index
+def cmd_search(spark, index: str, request: dict, as_of: int | None = None) -> dict:
+    from searchlite_spark.index.catalog import Index, load_snapshot
     from searchlite_spark.query.engine import Searcher
 
+    if as_of is not None:
+        # time-travel read: serve exactly what snapshot `as_of` served
+        # when it was current (expired snapshots raise, never lie)
+        return Searcher(load_snapshot(index, spark, as_of)).search(request)
     return Searcher(Index(path=index, spark=spark)).search(request)
+
+
+def cmd_snapshots(spark, index: str) -> dict:
+    from searchlite_spark.index.catalog import list_snapshots
+
+    return {"snapshots": list_snapshots(index)}
 
 
 def jsonable(value):
@@ -551,6 +566,10 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--request-stdin", action="store_true")
     sp.add_argument("--aggs")
     sp.add_argument("--aggs-file")
+    sp.add_argument(
+        "--as-of", type=int, default=None,
+        help="time-travel: search the index as of a committed snapshot version",
+    )
 
     sp = sub.add_parser("http", help="start the HTTP server for a single index")
     sp.add_argument("--index", required=True)
@@ -560,6 +579,9 @@ def _parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-body-bytes", type=int, default=50 * 1024 * 1024)
 
     sp = sub.add_parser("inspect", help="inspect manifest and stats")
+    sp.add_argument("index")
+
+    sp = sub.add_parser("snapshots", help="list the index's snapshot log")
     sp.add_argument("index")
 
     sp = sub.add_parser("compact", help="compact the index")
@@ -595,9 +617,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif cmd == "commit":
         out = cmd_commit(s, args.index)
     elif cmd == "search":
-        out = cmd_search(s, args.index, build_search_request(args))
+        out = cmd_search(s, args.index, build_search_request(args), as_of=args.as_of)
     elif cmd == "inspect":
         out = cmd_inspect(s, args.index)
+    elif cmd == "snapshots":
+        out = cmd_snapshots(s, args.index)
     elif cmd == "compact":
         out = cmd_compact(s, args.index)
     else:  # pragma: no cover — argparse enforces the choices

@@ -12,7 +12,10 @@ Route table (searchlite-http/src/lib.rs:327-338):
     POST /refresh                                -> {"refreshed": true}
     POST /compact                                -> {"compacted": true}
     POST /search     body = search request JSON  -> search response
+                     ?as_of=N serves from committed snapshot N
+                     (time travel; 410 snapshot_expired when GC'd)
     GET  /inspect                                -> {"manifest": {...}}
+    GET  /snapshots                              -> {"snapshots": [...]}
     GET  /stats      {documents, deleted_documents, segments,
                       committed_at, index_uuid, index_path}
 
@@ -188,10 +191,15 @@ def _queue_documents(state: AppState, docs: list[dict]) -> int:
             raise _bad_request("add_failed", str(e))
 
 
-def handle(state: AppState, method: str, path: str, body: bytes) -> tuple[int, dict]:
+def handle(
+    state: AppState, method: str, path: str, body: bytes, query: str = ""
+) -> tuple[int, dict]:
     """Route one request; returns (status, response json dict).
     Pure request-shaping — kept free of socket plumbing so tests can
-    drive it directly and the BaseHTTPRequestHandler stays thin."""
+    drive it directly and the BaseHTTPRequestHandler stays thin.
+    ``query`` is the raw URL query string (time-travel search uses
+    ``/search?as_of=N``; the JSON body stays exactly the reference's
+    search-request contract)."""
     if method == "GET" and path == "/healthz":
         return 200, {"status": "ok"}
 
@@ -283,8 +291,25 @@ def handle(state: AppState, method: str, path: str, body: bytes) -> tuple[int, d
             )
         from searchlite_spark.query.validate import RequestValidationError
 
+        searcher = state.searcher
+        as_of = _parse_as_of(query)
+        if as_of is not None:
+            from searchlite_spark.index.catalog import (
+                SnapshotExpiredError,
+                load_snapshot,
+            )
+            from searchlite_spark.query.engine import Searcher
+
+            state.require_index()
+            try:
+                snap = load_snapshot(state.index_path, state.spark, as_of)
+            except SnapshotExpiredError as e:
+                # 410 Gone: the snapshot existed but is no longer
+                # servable — never silently fall back to current
+                raise HttpError(410, "snapshot_expired", str(e))
+            searcher = lambda: Searcher(snap)  # noqa: E731
         try:
-            result = state.searcher().search(request)
+            result = searcher().search(request)
         except RequestValidationError as e:
             raise _bad_request("search_failed", str(e))
         except ValueError as e:
@@ -293,6 +318,12 @@ def handle(state: AppState, method: str, path: str, body: bytes) -> tuple[int, d
 
     if method == "GET" and path == "/inspect":
         return 200, {"manifest": state.require_index().manifest}
+
+    if method == "GET" and path == "/snapshots":
+        from searchlite_spark.index.catalog import list_snapshots
+
+        state.require_index()
+        return 200, {"snapshots": list_snapshots(state.index_path)}
 
     if method == "GET" and path == "/stats":
         index = state.require_index()
@@ -322,6 +353,28 @@ def handle(state: AppState, method: str, path: str, body: bytes) -> tuple[int, d
         }
 
     raise HttpError(404, "not_found", f"no route for {method} {path}")
+
+
+def _parse_as_of(query: str) -> int | None:
+    """``as_of=N`` from the URL query string; absent -> None, malformed
+    or non-positive -> 400 (a typo'd version must not silently search
+    current)."""
+    if not query:
+        return None
+    from urllib.parse import parse_qs
+
+    vals = parse_qs(query).get("as_of")
+    if not vals:
+        return None
+    try:
+        v = int(vals[-1])
+    except ValueError:
+        v = 0
+    if v <= 0:
+        raise _bad_request(
+            "invalid_as_of", "as_of must be a positive snapshot version"
+        )
+    return v
 
 
 def _parse_json_body(body: bytes, what: str) -> dict:
@@ -356,7 +409,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._respond(status, {"error": {"type": kind, "reason": reason}})
 
     def _serve(self, method: str) -> None:
-        path = urlparse(self.path).path
+        parsed = urlparse(self.path)
+        path, query = parsed.path, parsed.query
         length = int(self.headers.get("Content-Length") or 0)
         if length > self.state.args.max_body_bytes:
             # lib.rs:346-360 map_413.  The oversized body is NOT read:
@@ -367,7 +421,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         body = self.rfile.read(length) if length else b""
         try:
-            status, payload = handle(self.state, method, path, body)
+            status, payload = handle(self.state, method, path, body, query)
             self._respond(status, payload)
         except HttpError as e:
             self._error(e.status, e.kind, e.reason)

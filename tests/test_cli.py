@@ -248,3 +248,45 @@ def test_cli_delete_validates_ids(spark, tmp_path):
     empty.write_text("\n")
     with pytest.raises(SystemExit, match="no document ids"):
         cli.cmd_delete(spark, str(tmp_path / "nowhere"), str(empty))
+
+
+def test_cli_snapshots_and_as_of(spark, tmp_path, capsys):
+    """`snapshots` lists the commit log; `search --as-of N` serves the
+    pre-delete snapshot through the CLI."""
+    idx = str(tmp_path / "tt_idx")
+    schema_path = tmp_path / "schema.json"
+    schema_path.write_text(json.dumps({
+        "doc_id_field": "_id",
+        "text_fields": [{"name": "body", "analyzer": "default",
+                         "stored": True, "indexed": True}],
+    }))
+    _run(capsys, spark, ["init", idx, str(schema_path)])
+    docs = tmp_path / "docs.jsonl"
+    docs.write_text("\n".join(json.dumps(d) for d in [
+        {"_id": "a", "body": "rust is fast"},
+        {"_id": "b", "body": "rust is safe"},
+    ]))
+    _run(capsys, spark, ["add", idx, str(docs)])
+    _run(capsys, spark, ["commit", idx])
+
+    log = _run(capsys, spark, ["snapshots", idx])["snapshots"]
+    assert log and log[-1]["current"] is True
+    v_pre = log[-1]["version"]
+
+    ids = tmp_path / "ids.txt"
+    ids.write_text("a\n")
+    _run(capsys, spark, ["delete", idx, str(ids)])
+    _run(capsys, spark, ["commit", idx])
+
+    cur = _run(capsys, spark, ["search", idx, "-q", "rust",
+                               "--return-stored"])
+    assert {h["fields"]["_id"] for h in cur["hits"]} == {"b"}
+    old = _run(capsys, spark, ["search", idx, "-q", "rust",
+                               "--return-stored", "--as-of", str(v_pre)])
+    assert {h["fields"]["_id"] for h in old["hits"]} == {"a", "b"}
+
+    # expired / never-committed versions fail loudly
+    from searchlite_spark.index.catalog import SnapshotExpiredError
+    with pytest.raises(SnapshotExpiredError):
+        cli.main(["search", idx, "-q", "rust", "--as-of", "99999"],
+                 spark=spark)

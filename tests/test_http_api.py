@@ -218,3 +218,64 @@ def test_http_missing_index_and_bad_schema(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_time_travel(spark, tmp_path):
+    """/snapshots lists the commit log; /search?as_of=N serves the
+    pre-delete snapshot; expired/absent versions are 410, malformed
+    400 — never a silent fallback to current."""
+    idx = str(tmp_path / "tt_idx")
+    server = make_server(ServeArgs(index=idx, bind="127.0.0.1:0"), spark)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def call(method, path, body=None, raw=None):
+        data = raw if raw is not None else (
+            json.dumps(body).encode() if body is not None else None)
+        req = urllib.request.Request(base + path, data=data, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        assert call("POST", "/init", SCHEMA) == (200, {"created": True})
+        nd = (b'{"_id": "a", "body": "rust is fast", "lang": "en", "year": 1}\n'
+              b'{"_id": "b", "body": "rust is safe", "lang": "en", "year": 2}\n')
+        assert call("POST", "/add", raw=nd) == (200, {"queued": 2})
+        assert call("POST", "/commit") == (200, {"committed": True})
+
+        status, log = call("GET", "/snapshots")
+        assert status == 200 and log["snapshots"]
+        v_pre = log["snapshots"][-1]["version"]
+        assert log["snapshots"][-1]["current"] is True
+
+        assert call("POST", "/delete", {"ids": ["a"]}) == (200, {"queued": 1})
+        assert call("POST", "/commit") == (200, {"committed": True})
+        assert call("POST", "/refresh") == (200, {"refreshed": True})
+
+        _, cur = call("POST", "/search", {"query": "rust", "limit": 10,
+                                          "return_stored": True})
+        assert {h["fields"]["_id"] for h in cur["hits"]} == {"b"}
+        status, old = call(
+            "POST", f"/search?as_of={v_pre}",
+            {"query": "rust", "limit": 10, "return_stored": True})
+        assert status == 200
+        assert {h["fields"]["_id"] for h in old["hits"]} == {"a", "b"}
+
+        # the snapshot log grew and marks the new current
+        _, log2 = call("GET", "/snapshots")
+        versions = [s["version"] for s in log2["snapshots"]]
+        assert versions == sorted(versions) and len(versions) >= 2
+
+        status, resp = call("POST", "/search?as_of=0", {"query": "rust"})
+        assert status == 400 and resp["error"]["type"] == "invalid_as_of"
+        status, resp = call("POST", "/search?as_of=oops", {"query": "rust"})
+        assert status == 400 and resp["error"]["type"] == "invalid_as_of"
+        status, resp = call("POST", "/search?as_of=99999", {"query": "rust"})
+        assert status == 410 and resp["error"]["type"] == "snapshot_expired"
+    finally:
+        server.shutdown()
+        server.server_close()
