@@ -119,10 +119,17 @@ def collocations_pmi(
     driver collect anywhere."""
     toks = _tokens(F.col(text_col))
     tdf = df.select(toks.alias("toks"))
+    # uni feeds THREE consumers (u1, u2, Nt) and big_all TWO (Nb, the
+    # filtered bigram table); without a lineage cut Catalyst would
+    # re-tokenize the whole corpus once per consumer — five full scans
+    # instead of two.  localCheckpoint materializes each count table
+    # once (vocabulary-sized, not corpus-sized) and the blocks die
+    # with the returned plan.
     uni = (
         tdf.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     bigrams = tdf.select(
         F.explode(
@@ -132,7 +139,11 @@ def collocations_pmi(
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    big_all = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    big_all = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint()
+    )
     nt = uni.agg(F.sum("c").cast("double").alias("nt"))
     nb = big_all.agg(F.sum("c12").cast("double").alias("nb"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
