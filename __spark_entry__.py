@@ -1088,6 +1088,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), min_count=5, top_k=20
         )
 
+    def cross_entropy_q(spark, sf_dir):
+        """Top-20 most-surprising documents by unigram cross-entropy
+        (textops/quality.py unigram_cross_entropy — the CCNet-style
+        perplexity quality signal); the oracle replays the corpus
+        unigram distribution and the -avg(ln p) from the same tokens,
+        ranked by the rounded score with a doc_id tie-break."""
+        from searchlite_spark.textops import unigram_cross_entropy
+
+        return (
+            unigram_cross_entropy(_docs(spark, sf_dir))
+            .orderBy(F.desc_nulls_last("ce_r"), F.asc("doc_id"))
+            .limit(20)
+        )
+
     def media_pipeline_q(spark, sf_dir):
         """Multimodal plumbing end-to-end (textops/multimodal.py):
         documents become opaque BINARY media (a per-lang magic header +
@@ -2250,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         url_dedup_latest=url_dedup_q,
         chunk_documents=chunk_documents_q,
         collocations_pmi=collocations_q,
+        doc_cross_entropy=cross_entropy_q,
         media_pipeline=media_pipeline_q,
         pack_sequences=pack_sequences_q,
         token_budget_sample=token_budget_sample_q,
@@ -2331,7 +2346,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the fingerprint path is untouched, and the module keeps THREE
     # in-window rows: token_stats, quality_score, collocations_pmi).
     # Deferred ≠ dropped: still registered and pytest-covered.
+    # And doc_cross_entropy (textops/quality.py unigram_cross_entropy —
+    # CCNet-style perplexity quality signal), paid for by deferring
+    # token_stats (green r04, re-verified externally at sf0.01+sf1 this
+    # round; the quality.py module keeps quality_score +
+    # collocations_pmi + doc_cross_entropy in-window).
     _deferred = [
+        "token_stats",           # green r04 + sf0.01/sf1 re-verification this
+                                 # round; token-stats path untouched (the
+                                 # quality.py changes are additive fns);
+                                 # three sibling rows stay in-window —
+                                 # deferred to admit the NEW
+                                 # doc_cross_entropy row (MUST return in r07)
         "doc_fingerprint",       # green r04 + sf0.01/sf1 re-verification this
                                  # round; quality.py change additive-only
                                  # (new collocations_pmi fn), fingerprint
@@ -3259,6 +3285,26 @@ JOIN uni u2 ON u2.w = big.w2
 CROSS JOIN n
 WHERE c12 >= 5
 ORDER BY pmi_r DESC, w1, w2 LIMIT 20"""
+
+    # doc_cross_entropy: the corpus unigram distribution and the
+    # -avg(ln p) replay from the same single-space tokens; ranked by
+    # the 4-decimal-rounded score with a doc_id tie-break (no
+    # zero-token docs exist in the testdata, but NULLS LAST pins the
+    # contract in both engines)
+    O["doc_cross_entropy"] = """
+WITH t AS (
+  SELECT d.doc_id, u.w FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ) d, unnest(d.toks) AS u(w)
+),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY 1),
+n AS (SELECT (SELECT sum(c) FROM uni)::DOUBLE AS nt)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(-avg(ln(uni.c / n.nt)), 4) AS ce_r
+FROM t JOIN uni USING (w) CROSS JOIN n
+GROUP BY t.doc_id
+ORDER BY ce_r DESC NULLS LAST, doc_id ASC LIMIT 20"""
 
     # media_pipeline: the binary column is DERIVED in the query (magic
     # header per lang + UTF-8 text bytes), so DuckDB replays every

@@ -55,6 +55,7 @@ from searchlite_spark.textops.quality import (  # noqa: F401
     langid,
     doc_fingerprint,
     collocations_pmi,
+    unigram_cross_entropy,
 )
 from searchlite_spark.textops.extract import (  # noqa: F401
     extract_text,

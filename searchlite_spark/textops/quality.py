@@ -166,6 +166,58 @@ def collocations_pmi(
     )
 
 
+def unigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, ce_r) — per-document cross-entropy under the
+    corpus's own unigram distribution (the CCNet-style perplexity
+    quality signal: documents far from the corpus distribution score
+    high and are filter candidates):
+
+        ce = -(1/n) * sum_i ln( c(w_i) / Nt )
+
+    where c(w) is the corpus unigram count and Nt total tokens.  No
+    smoothing is needed — every scored token is in the corpus by
+    construction (score-other-corpus variants would add it at the
+    join).  ce is rounded to 4 decimals (engine-portable).
+
+    100-TB shape: the unigram table is built with one map-side-partial
+    aggregate and localCheckpoint'ed (it feeds both the Nt total and
+    the scoring join); scoring is explode -> hash join against the
+    vocabulary-sized table -> per-doc re-aggregate.  The text column
+    never shuffles; docs with zero tokens are kept with NULL ce (they
+    are exactly the docs a perplexity filter must flag, not drop)."""
+    toks = _tokens(F.col(text_col))
+    tokens = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    uni = (
+        tokens.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
+    )
+    nt = uni.agg(F.sum("c").cast("double").alias("nt"))
+    scored = (
+        tokens.join(uni, "w")
+        .crossJoin(F.broadcast(nt))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.avg(F.log(F.col("c") / F.col("nt")))).alias("ce"),
+        )
+    )
+    empties = (
+        df.select(F.col(id_col))
+        .where(F.size(toks) == 0)
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("ce"),
+        )
+    )
+    return scored.unionByName(empties).select(
+        id_col, "n_tokens", F.round("ce", 4).alias("ce_r")
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint LONG) — rolling polynomial hash over tokens:
     acc = (acc * 131 + tval) mod (2^31 - 1), where tval =

@@ -45,3 +45,22 @@ def test_partition_invariance(spark):
     a = collocations_pmi(_df(spark, texts, 1), min_count=3, top_k=15).collect()
     b = collocations_pmi(_df(spark, texts, 8), min_count=3, top_k=15).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_unigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from searchlite_spark.textops import unigram_cross_entropy
+
+    # corpus: a=3 b=2 c=1, Nt=6
+    df = _df(spark, ["a a b", "a b c", ""])
+    out = {r["doc_id"]: r for r in unigram_cross_entropy(df).collect()}
+    p = {"a": 3 / 6, "b": 2 / 6, "c": 1 / 6}
+    ce0 = -(math.log(p["a"]) * 2 + math.log(p["b"])) / 3
+    ce1 = -(math.log(p["a"]) + math.log(p["b"]) + math.log(p["c"])) / 3
+    assert out[0]["n_tokens"] == 3 and out[0]["ce_r"] == round(ce0, 4)
+    assert out[1]["n_tokens"] == 3 and out[1]["ce_r"] == round(ce1, 4)
+    # zero-token docs are kept, flagged with NULL ce
+    assert out[2]["n_tokens"] == 0 and out[2]["ce_r"] is None
+    # the rarer-token doc is more surprising
+    assert out[1]["ce_r"] > out[0]["ce_r"]
