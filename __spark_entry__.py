@@ -1088,6 +1088,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), min_count=5, top_k=20
         )
 
+    def dup_window_stats_q(spark, sf_dir):
+        """ExactSubstr-style duplicated-window signal (textops/dedup.py
+        duplicate_window_stats) with planted full-document copies
+        (doc_id % 7 == 0 re-added at +1000000): every 8-token window of
+        a planted pair is duplicated, so the integer aggregates are
+        deterministic and the oracle replays them exactly — including
+        any NATURAL cross-document window collisions, which both
+        engines count identically from the same gram strings."""
+        from searchlite_spark.textops import duplicate_window_stats
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        planted = docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        st = duplicate_window_stats(
+            docs.unionByName(planted), window=8
+        )
+        return st.agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_dup_windows") > 0).cast("long")).alias(
+                "n_docs_dup"
+            ),
+            F.sum("n_windows").alias("sum_windows"),
+            F.sum("n_dup_windows").alias("sum_dup_windows"),
+            F.round(F.avg("dup_frac_r"), 4).alias("avg_dup_frac_r"),
+        )
+
     def cross_entropy_q(spark, sf_dir):
         """Top-20 most-surprising documents by unigram cross-entropy
         (textops/quality.py unigram_cross_entropy — the CCNet-style
@@ -2265,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunk_documents=chunk_documents_q,
         collocations_pmi=collocations_q,
         doc_cross_entropy=cross_entropy_q,
+        dup_window_stats=dup_window_stats_q,
         media_pipeline=media_pipeline_q,
         pack_sequences=pack_sequences_q,
         token_budget_sample=token_budget_sample_q,
@@ -2351,7 +2379,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # token_stats (green r04, re-verified externally at sf0.01+sf1 this
     # round; the quality.py module keeps quality_score +
     # collocations_pmi + doc_cross_entropy in-window).
+    # And dup_window_stats (textops/dedup.py duplicate_window_stats —
+    # ExactSubstr-style duplicated-span signal), paid for by deferring
+    # agg_stats_nchars (green r04, re-verified externally at sf0.01+sf1
+    # this round; aggs.py untouched all round, and the agg family keeps
+    # EIGHT in-window rows including the stats-pipeline cousins
+    # events_bucket_stats and percentile_ranks_nchars).
     _deferred = [
+        "agg_stats_nchars",      # green r04 + sf0.01/sf1 re-verification this
+                                 # round; aggs.py untouched in r06; eight
+                                 # sibling agg rows stay in-window — deferred
+                                 # to admit the NEW dup_window_stats row
+                                 # (MUST return in r07)
         "token_stats",           # green r04 + sf0.01/sf1 re-verification this
                                  # round; token-stats path untouched (the
                                  # quality.py changes are additive fns);
@@ -3285,6 +3324,49 @@ JOIN uni u2 ON u2.w = big.w2
 CROSS JOIN n
 WHERE c12 >= 5
 ORDER BY pmi_r DESC, w1, w2 LIMIT 20"""
+
+    # dup_window_stats: the planted-copy corpus and the rolling 8-token
+    # windows are both replayed from literal gram strings, so every
+    # count (including natural cross-doc window collisions) matches
+    # exactly; the only float is the avg of per-doc 4-decimal-rounded
+    # fractions, re-rounded
+    O["dup_window_stats"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus
+),
+g AS (
+  SELECT d.doc_id, u.gram
+  FROM d, unnest([
+    array_to_string(toks[i : i + 7], ' ')
+    for i in generate_series(1, greatest(len(toks) - 7, 0))
+  ]) AS u(gram)
+),
+dup AS (
+  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1) WHERE c > 1
+),
+nd AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_dup
+  FROM g JOIN dup USING (gram) GROUP BY 1
+),
+per AS (
+  SELECT d.doc_id,
+         CAST(greatest(len(d.toks) - 7, 0) AS BIGINT) AS n_windows,
+         coalesce(nd.n_dup, 0)::BIGINT AS n_dup
+  FROM d LEFT JOIN nd USING (doc_id)
+)
+SELECT count(*) AS n_docs,
+       CAST(sum((n_dup > 0)::BIGINT) AS BIGINT) AS n_docs_dup,
+       CAST(sum(n_windows) AS BIGINT) AS sum_windows,
+       CAST(sum(n_dup) AS BIGINT) AS sum_dup_windows,
+       round(avg(round(CASE WHEN n_windows > 0
+                            THEN n_dup::DOUBLE / n_windows
+                            ELSE 0.0 END, 4)), 4) AS avg_dup_frac_r
+FROM per"""
 
     # doc_cross_entropy: the corpus unigram distribution and the
     # -avg(ln p) replay from the same single-space tokens; ranked by

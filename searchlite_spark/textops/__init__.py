@@ -22,6 +22,7 @@ from searchlite_spark.textops.webclean import (  # noqa: F401
 from searchlite_spark.textops.dedup import (  # noqa: F401
     connected_components,
     decontaminate,
+    duplicate_window_stats,
     exact_dedup,
     line_dedup,
     minhash_dedup,

@@ -450,6 +450,70 @@ def connected_components(
     ).union(roots)
 
 
+def duplicate_window_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """(id, n_windows, n_dup_windows, dup_frac_r) — per-document
+    duplicated-span signal in the style of ExactSubstr (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a document's rolling ``window``-token spans that occur
+    verbatim more than once in the corpus (within-document repeats
+    count — a span repeated twice in one doc is still duplicated
+    text).  Suffix arrays give exact substrings on one machine; the
+    distributed re-expression is rolling fixed-width windows, which
+    upper-bound every duplicated substring of length >= window.
+
+    100-TB shape: the duplicate-gram dictionary (only grams with
+    count > 1 — tiny relative to the corpus) is built with one
+    map-side-partial aggregate and localCheckpoint'ed; the per-doc dup
+    count is a semi-join of the re-exploded grams against it.  Two
+    gram-explode scans total, text never shuffles.  At that scale the
+    gram key should be a 128-bit hash instead of the literal string
+    (same plan, 10-20x less shuffle width); the literal key keeps the
+    operator exactly replayable by the external oracle."""
+    grams = shingles(F.col(text_col), window)
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    dupg = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("gram")
+        .localCheckpoint()
+    )
+    n_dup = (
+        g.join(dupg, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.size(_tokens(F.col(text_col))) - (window - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return (
+        base.join(n_dup, id_col, "left")
+        .fillna({"n_dup_windows": 0})
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.col("n_dup_windows") / F.col("n_windows"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_frac_r"),
+        )
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

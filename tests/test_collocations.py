@@ -64,3 +64,30 @@ def test_unigram_cross_entropy_hand_computed(spark):
     assert out[2]["n_tokens"] == 0 and out[2]["ce_r"] is None
     # the rarer-token doc is more surprising
     assert out[1]["ce_r"] > out[0]["ce_r"]
+
+
+def test_duplicate_window_stats(spark):
+    from searchlite_spark.textops import duplicate_window_stats
+
+    texts = [
+        "a b c d e f",        # doc 0: 4 windows, all shared with doc 1
+        "a b c d e f",        # doc 1: exact copy
+        "p q r s t u v",      # doc 2: unique, 5 windows
+        "x y z",              # doc 3: shorter than the window -> 0 windows
+        "m n m n m n",        # doc 4: within-doc repeat "m n m" x2
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in
+           duplicate_window_stats(df, window=3).collect()}
+    assert (out[0]["n_windows"], out[0]["n_dup_windows"]) == (4, 4)
+    assert out[0]["dup_frac_r"] == 1.0
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (4, 4)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (5, 0)
+    assert out[2]["dup_frac_r"] == 0.0
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (1, 0)
+    # "x y z" has exactly one 3-window; doc 4's "m n m" appears twice
+    # (within-document duplication counts) and "n m n" twice
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (4, 4)
+    assert out[4]["dup_frac_r"] == 1.0
