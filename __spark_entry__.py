@@ -2246,6 +2246,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).agg(F.count("*").alias("n_found"))
         return n_planted.crossJoin(n_found)
 
+    def semantic_dedup_q(spark, sf_dir):
+        """SemDeDup (similarity.py::semantic_dedup; Abbas et al. 2023,
+        arXiv:2303.09540): the embeddings + 5 planted exact copies of
+        vec_id 7 (ids 2000000+i) clustered into 8 deterministic
+        k-means cells; a row is DROPPED when a predecessor in its cell
+        (ascending centroid-cosine, id tie-break — the paper's
+        keep-least-prototypical rule) has cosine >= 0.95.  Only the
+        trained CENTROIDS are persisted (fixed path, per-sf marker);
+        the static SQL oracle independently replays everything
+        downstream of training — the assignment argmin, the
+        within-cell rank window, every predecessor pairwise cosine,
+        and the eps decision — and aggregates per-cell
+        (n, n_dropped).  Planted copies tie with the original on
+        centroid-cosine bit-for-bit, so id order keeps exactly vec_id
+        7 and drops the five copies with certainty (cosine 1.0).
+        K-means training correctness/determinism is pytest territory
+        (test_semdedup.py, test_ivf.py)."""
+        import shutil
+
+        from searchlite_spark.textops import ivf_train, semantic_dedup
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        out = "/tmp/searchlite_entry/semdedup_current"
+        marker = os.path.join(out, "_sf_" + tag)
+        emb = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        v7 = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+        ]
+        aug = emb.unionByName(
+            spark.createDataFrame(
+                [(2000000 + i, v7) for i in range(5)],
+                "vec_id LONG, embedding ARRAY<DOUBLE>",
+            )
+        )
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            cents = ivf_train(aug, k_lists=8, iters=3)
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "list_id INT, centroid ARRAY<DOUBLE>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, "centroids")
+            )
+            with open(marker, "w") as fh:
+                fh.write(tag)
+        cents = [
+            list(r["centroid"])
+            for r in spark.read.parquet(os.path.join(out, "centroids"))
+            .orderBy("list_id")
+            .collect()
+        ]
+        dec = semantic_dedup(aug, eps=0.95, centroids=cents)
+        return (
+            dec.groupBy("list_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias(
+                    "n_dropped"
+                ),
+            )
+            .orderBy("list_id")
+        )
+
     Q.update(
         search_after_sorted=search_after_sorted,
         cursor_page2=cursor_page2,
@@ -2283,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf_index_search=ivf_index_search_q,
         pq_ann_topk=pq_ann_topk,
         cosine_near_dups=cosine_near_dups,
+        semantic_dedup=semantic_dedup_q,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
@@ -2385,7 +2452,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round; aggs.py untouched all round, and the agg family keeps
     # EIGHT in-window rows including the stats-pipeline cousins
     # events_bucket_stats and percentile_ranks_nchars).
+    # Round-6 session 6: the NEW semantic_dedup row (similarity.py
+    # semantic_dedup — SemDeDup embedding-cluster dedup; additive
+    # change only) enters in-window, paid for by deferring
+    # hybrid_search (green r04, re-verified externally at sf0.01+sf1
+    # this round — BENCH.md session-6 gate; the in-window
+    # hybrid_filtered row runs a strict SUPERSET of the same blend
+    # path: multi-clause + root/vector filters through hybrid_topk's
+    # own combiner).
     _deferred = [
+        "hybrid_search",         # green r04 + sf0.01/sf1 re-verification this
+                                 # round; hybrid_filtered stays in-window and
+                                 # exercises the superset path (multi-clause
+                                 # blend + filters) — deferred to admit the
+                                 # NEW semantic_dedup row (MUST return in r07)
         "agg_stats_nchars",      # green r04 + sf0.01/sf1 re-verification this
                                  # round; aggs.py untouched in r06; eight
                                  # sibling agg rows stay in-window — deferred
@@ -4065,4 +4145,65 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 6"""
     # persisted-index probe must return the identical top-6 (planted
     # copies are found with certainty through the partitioned layout)
     O["ivf_index_search"] = O["ivf_ann_topk"]
+
+    # semantic_dedup: full SemDeDup replay downstream of k-means
+    # training.  Only the persisted centroids are trusted (fixed path,
+    # rebuilt per sf before the oracle runs); DuckDB independently
+    # recomputes the assignment argmin (the [..] comprehension fold is
+    # bit-identical to Spark's zip_with/aggregate left fold — verified;
+    # the algebraic dot-product expansion is NOT and must not be used
+    # here), the within-cell rank (ascending centroid-cosine, id
+    # tie-break), every predecessor pairwise cosine, the eps=0.95
+    # decision, and the per-cell (n, n_dropped) aggregate.
+    O["semantic_dedup"] = """
+WITH cen AS (
+  SELECT list_id, CAST(centroid AS DOUBLE[]) AS c
+  FROM '/tmp/searchlite_entry/semdedup_current/centroids/*.parquet'
+),
+aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT 2000000 + i AS vec_id, q.v AS v
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id = 7) q
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+),
+dist AS (
+  SELECT a.vec_id, a.v, cen.list_id, cen.c,
+         list_sum([ (a.v[i] - cen.c[i]) * (a.v[i] - cen.c[i])
+                    for i in generate_series(1, len(a.v)) ]) AS d
+  FROM aug a CROSS JOIN cen
+  WHERE sqrt(list_dot_product(a.v, a.v)) > 0
+),
+asg AS (
+  SELECT vec_id, v, list_id, c FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, list_id ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+rk AS (
+  SELECT vec_id, v, list_id,
+         sqrt(list_dot_product(v, v)) AS nrm,
+         row_number() OVER (
+           PARTITION BY list_id
+           ORDER BY list_dot_product(v, c)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(c, c))) ASC,
+                    vec_id ASC
+         ) AS rank
+  FROM asg
+),
+prior AS (
+  SELECT r.vec_id,
+         max(list_dot_product(l.v, r.v) / (l.nrm * r.nrm)) AS mps
+  FROM rk l JOIN rk r
+    ON l.list_id = r.list_id AND l.rank < r.rank
+  GROUP BY r.vec_id
+)
+SELECT rk.list_id, count(*)::BIGINT AS n,
+       CAST(sum(CASE WHEN prior.mps >= 0.95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM rk LEFT JOIN prior USING (vec_id)
+GROUP BY rk.list_id ORDER BY rk.list_id"""
     return O

@@ -49,6 +49,7 @@ from searchlite_spark.textops.similarity import (  # noqa: F401
     quantize_embeddings,
     quantize_query,
     quantized_cosine_topk,
+    semantic_dedup,
 )
 from searchlite_spark.textops.quality import (  # noqa: F401
     token_stats,

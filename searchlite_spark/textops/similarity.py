@@ -971,3 +971,148 @@ def ivf_index_search(
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
     cand = cells.where(F.col("list_id").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float = 0.95,
+    k_lists: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    sample_size: int | None = None,
+    keep: str = "far",
+    max_cluster_rank: int | None = None,
+    warn_on_overflow: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster pairwise
+    cosine.  A document is DROPPED when some document ranked before it
+    in its cluster has cosine similarity >= ``eps`` — the paper's
+    upper-triangular rule, which needs only pairwise sims against
+    predecessors, never a sequential greedy pass, so it distributes.
+
+    Ranking inside a cluster (``keep``):
+      * ``"far"`` (paper default): ascending cosine-to-centroid — the
+        LEAST prototypical member of a duplicate group survives, which
+        the paper found preserves diversity;
+      * ``"near"``: descending — keep the most prototypical.
+    Ties (exact copies share a centroid-cosine bit-for-bit) break by
+    ascending id, so the decision is deterministic across runs,
+    partitionings, and engines.
+
+    Returns one row per non-zero-norm input row:
+    ``(id, list_id, rank, max_prior_sim DOUBLE?, kept BOOLEAN)`` —
+    ``max_prior_sim`` is NULL for a cluster's first-ranked row.  The
+    full per-row signal is returned (not just survivors) so callers
+    can audit the eps margin before committing to a drop.
+
+    Scale shape (10^12 rows): one assignment pass (broadcast-argmin,
+    ``ivf_assign_df``), one window + one self-join both keyed on
+    ``list_id``, one hash aggregate keyed on id.  Per-cluster work is
+    O(c^2) with c ~= N / k_lists, so k_lists must scale with N
+    (k_lists ~= N / target_cell_size, same playbook as IVF) — that
+    also keeps the join-key cardinality high enough to spread.  For
+    skewed clusterings ``max_cluster_rank`` caps the predecessor side
+    of the pair join (rows ranked beyond it are still *checked*
+    against the first ``max_cluster_rank`` predecessors but never
+    serve as predecessors themselves — a recall cap on detectable
+    duplicate pairs, NOT a correctness change for the capped prefix);
+    overflowing clusters raise a RuntimeWarning unless
+    ``warn_on_overflow=False``.  Zero-norm vectors are excluded
+    (cosine undefined), matching cosine_near_pairs.
+    """
+    import warnings
+
+    if keep not in ("far", "near"):
+        raise ValueError(f"semantic_dedup: keep must be 'far'|'near', got {keep!r}")
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(_norm(F.col(vec_col)) > 0)
+    if centroids is None:
+        if int(k_lists) <= LITERAL_KMEANS_MAX:
+            centroids = ivf_train(
+                vecs, k_lists, "_v", id_col, iters, sample_size
+            )
+            cdf = None
+        else:
+            cdf = ivf_train_df(vecs, k_lists, "_v", id_col, iters, sample_size)
+    else:
+        cdf = None
+    spark = df.sparkSession
+    if cdf is None:
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "list_id INT, centroid ARRAY<DOUBLE>",
+        )
+    assigned = ivf_assign_df(vecs, cdf, "_v", id_col, "list_id")
+    ccos = _dot(F.col("_v"), F.col("centroid")) / (
+        _norm(F.col("_v")) * _norm(F.col("centroid"))
+    )
+    with_cos = (
+        assigned.join(F.broadcast(cdf), "list_id")
+        .select(id_col, "list_id", "_v", ccos.alias("_ccos"))
+    )
+    from pyspark.sql.window import Window
+
+    order = (
+        [F.col("_ccos").asc(), F.col(id_col).asc()]
+        if keep == "far"
+        else [F.col("_ccos").desc(), F.col(id_col).asc()]
+    )
+    ranked = with_cos.select(
+        id_col,
+        "list_id",
+        "_v",
+        _norm(F.col("_v")).alias("_nrm"),
+        F.row_number()
+        .over(Window.partitionBy("list_id").orderBy(*order))
+        .alias("rank"),
+    )
+    if max_cluster_rank is not None and warn_on_overflow:
+        over = (
+            ranked.where(F.col("rank") > int(max_cluster_rank))
+            .agg(
+                F.countDistinct("list_id").alias("clusters"),
+                F.count("*").alias("rows"),
+            )
+            .first()
+        )
+        if int(over["clusters"] or 0) > 0:
+            warnings.warn(
+                f"semantic_dedup: {over['clusters']} cluster(s) exceed "
+                f"max_cluster_rank={max_cluster_rank} ({over['rows']} rows "
+                "beyond the cap); those rows cannot be detected as "
+                "predecessors of later duplicates. Raise k_lists so cells "
+                "stay under the cap, or raise/disable max_cluster_rank.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    left = ranked.alias("l")
+    right = ranked.alias("r")
+    pred = F.col("l.rank") < F.col("r.rank")
+    if max_cluster_rank is not None:
+        pred = pred & (F.col("l.rank") <= int(max_cluster_rank))
+    sim = _dot(F.col("l._v"), F.col("r._v")) / (
+        F.col("l._nrm") * F.col("r._nrm")
+    )
+    prior = (
+        left.join(right, (F.col("l.list_id") == F.col("r.list_id")) & pred)
+        .groupBy(F.col(f"r.{id_col}").alias(id_col))
+        .agg(F.max(sim).alias("max_prior_sim"))
+    )
+    return (
+        ranked.join(prior, id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            "rank",
+            "max_prior_sim",
+            (
+                F.col("max_prior_sim").isNull()
+                | (F.col("max_prior_sim") < F.lit(float(eps)))
+            ).alias("kept"),
+        )
+    )
