@@ -1215,6 +1215,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), budget=256
         ).orderBy("pack_id", "doc_id")
 
+    def dsir_select_q(spark, sf_dir):
+        """DSIR data selection (textops/sampling.py dsir_select; Xie
+        et al. 2023, arXiv:2302.03169): top-20 documents by hashed-
+        n-gram importance weight toward the lang='en' slice + the
+        deterministic Gumbel draw.  Everything is replayed statically
+        in SQL — md5 feature hashing into 1000 buckets, add-1 smoothed
+        per-bucket log ratios composed in the exact documented term
+        order, per-doc weight sums, the (h+0.5)/2^60 Gumbel shift, and
+        the 4-decimal portable ranking key with id tie-break."""
+        from searchlite_spark.textops import dsir_select
+
+        docs = _docs(spark, sf_dir)
+        target = docs.where(F.lower(F.col("lang")) == "en")
+        return dsir_select(
+            docs.select("doc_id", "text"),
+            target.select("doc_id", "text"),
+            n=20,
+            buckets=1000,
+        )
+
     def redact_pii_q(spark, sf_dir):
         """Deterministic PII is appended to each document (email, phone,
         ipv4 derived from doc_id), then redacted; the oracle builds the
@@ -2350,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pq_ann_topk=pq_ann_topk,
         cosine_near_dups=cosine_near_dups,
         semantic_dedup=semantic_dedup_q,
+        dsir_select=dsir_select_q,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
@@ -2460,12 +2481,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hybrid_filtered row runs a strict SUPERSET of the same blend
     # path: multi-clause + root/vector filters through hybrid_topk's
     # own combiner).
+    # Session 6 also adds dsir_select (textops/sampling.py — DSIR
+    # hashed-n-gram importance resampling; additive change to the
+    # module whose in-window sibling token_budget_sample stays), paid
+    # for by deferring quality_score (green r04, re-verified externally
+    # at sf0.01+sf1 this round — BENCH.md session-6 gate; quality.py
+    # untouched this session and the module keeps collocations_pmi +
+    # doc_cross_entropy in-window).
     _deferred = [
         "hybrid_search",         # green r04 + sf0.01/sf1 re-verification this
                                  # round; hybrid_filtered stays in-window and
                                  # exercises the superset path (multi-clause
                                  # blend + filters) — deferred to admit the
                                  # NEW semantic_dedup row (MUST return in r07)
+        "quality_score",         # green r04 + sf0.01/sf1 re-verification this
+                                 # round; quality.py untouched in session 6,
+                                 # collocations_pmi + doc_cross_entropy stay
+                                 # in-window — deferred to admit the NEW
+                                 # dsir_select row (MUST return in r07)
         "agg_stats_nchars",      # green r04 + sf0.01/sf1 re-verification this
                                  # round; aggs.py untouched in r06; eight
                                  # sibling agg rows stay in-window — deferred
@@ -4206,4 +4239,57 @@ SELECT rk.list_id, count(*)::BIGINT AS n,
             AS BIGINT) AS n_dropped
 FROM rk LEFT JOIN prior USING (vec_id)
 GROUP BY rk.list_id ORDER BY rk.list_id"""
+
+    # dsir_select: the whole DSIR pipeline replays statically — md5
+    # bucket hashing (top 60 bits mod 1000, the sample_uniform
+    # portability rule), add-1 smoothed log ratios composed in the
+    # exact Spark term order, per-doc weight sums, the (h+0.5)/2^60
+    # Gumbel shift, and the 4-decimal portable key with id tie-break.
+    O["dsir_select"] = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT d.doc_id, d.lang, u.g
+  FROM d, unnest(list_concat(toks,
+    [toks[i] || ' ' || toks[i + 1]
+     for i in generate_series(1, greatest(len(toks) - 1, 0))])) AS u(g)
+),
+gb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1000 AS b
+  FROM g
+),
+raw AS (SELECT b, count(*)::DOUBLE AS cr FROM gb GROUP BY 1),
+tgt AS (SELECT b, count(*)::DOUBLE AS ct FROM gb
+        WHERE lower(lang) = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM raw) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt),
+lr AS (
+  SELECT s.b,
+         (ln(coalesce(ct, 0) + 1.0) - ln(tt + 1000.0))
+         - (ln(coalesce(cr, 0) + 1.0) - ln(tr + 1000.0)) AS lr
+  FROM (SELECT unnest(generate_series(0, 999)) AS b) s
+  LEFT JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot
+),
+per AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM gb GROUP BY 1, 2),
+w AS (
+  SELECT doc.doc_id, coalesce(sw.logw, 0.0) AS logw
+  FROM documents doc LEFT JOIN (
+    SELECT per.doc_id, sum(per.n * lr.lr) AS logw
+    FROM per JOIN lr USING (b) GROUP BY 1
+  ) sw USING (doc_id)
+),
+k AS (
+  SELECT doc_id, round(logw, 4) AS logw,
+         round(logw + (-ln(-ln(
+           (CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT)::DOUBLE + 0.5) / 1152921504606846976.0
+         ))), 4) AS "key"
+  FROM w
+)
+SELECT doc_id, logw, "key" FROM k
+ORDER BY "key" DESC, doc_id ASC LIMIT 20"""
     return O

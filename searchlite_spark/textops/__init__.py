@@ -9,6 +9,9 @@ from searchlite_spark.textops.multimodal import (  # noqa: F401
     sample_frames,
 )
 from searchlite_spark.textops.sampling import (  # noqa: F401
+    dsir_bucket_logratio,
+    dsir_select,
+    dsir_weights,
     mixture_fractions,
     sample_by_fractions,
     sample_tokens,

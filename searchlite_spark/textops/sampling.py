@@ -217,3 +217,190 @@ def sample_tokens(
         "n_tokens",
         "tokens_before",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+# distribution looks like a target corpus, via importance weights under
+# bag-of-hashed-grams models plus a Gumbel top-k draw.
+# ---------------------------------------------------------------------------
+
+
+def _hash_bucket(gram_col, buckets: int):
+    """Feature hash: top 60 bits of md5(gram) mod ``buckets`` — md5
+    (not xxhash64) so the exact bucket is expressible in ANSI SQL, the
+    same portability rule as ``sample_uniform``."""
+    return (
+        F.conv(F.substring(F.md5(gram_col), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(int(buckets))
+    )
+
+
+def _doc_grams(
+    df: DataFrame, text_col: str, id_col: str | None = None
+) -> DataFrame:
+    """(id?, gram) — word unigrams + space-joined bigrams (the DSIR
+    feature set).  Unigrams contain no spaces, so the two levels cannot
+    collide as strings.  ``id_col=None`` drops the id (corpus-level
+    counting needs only the gram stream)."""
+    from searchlite_spark.textops.dedup import _tokens, shingles
+
+    uni = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    grams = F.concat(uni, shingles(F.col(text_col), 2))
+    cols = [] if id_col is None else [F.col(id_col)]
+    return df.select(*cols, F.explode(grams).alias("_gram"))
+
+
+def dsir_bucket_logratio(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-bucket log importance ratio ``ln p_target(b) - ln p_raw(b)``
+    over the hashed-gram buckets, with add-``smoothing`` estimates:
+    ``p(b) = (count_b + a) / (total + a * buckets)``.  Returns one row
+    per bucket in [0, buckets): ``(bucket LONG, log_ratio DOUBLE)``.
+
+    Scale shape: the text column never shuffles — each corpus is read
+    once, grams are hashed map-side, and the only exchanges carry
+    (bucket, count) pairs bounded by ``buckets`` after map-side partial
+    aggregation.  The result is ``buckets`` rows — broadcastable by
+    construction (the 10^12-doc playbook: buckets ~ 10^4-10^6).
+    """
+    B = int(buckets)
+    a = float(smoothing)
+    if B <= 0:
+        raise ValueError("buckets must be positive")
+    if a <= 0:
+        raise ValueError("smoothing must be positive (zero-count buckets)")
+    spark = df.sparkSession
+
+    def _counts(d, alias):
+        return (
+            _doc_grams(d, text_col)
+            .groupBy(_hash_bucket(F.col("_gram"), B).alias("bucket"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    raw = _counts(df, "_cr")
+    tgt = _counts(target_df, "_ct")
+    raw_total = raw.agg(F.sum("_cr").alias("_tr"))
+    tgt_total = tgt.agg(F.sum("_ct").alias("_tt"))
+    all_b = spark.range(B).select(F.col("id").alias("bucket"))
+    j = (
+        all_b.join(raw, "bucket", "left")
+        .join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+    )
+    cr = F.coalesce(F.col("_cr"), F.lit(0)).cast("double")
+    ct = F.coalesce(F.col("_ct"), F.lit(0)).cast("double")
+    tr = F.coalesce(F.col("_tr"), F.lit(0)).cast("double")
+    tt = F.coalesce(F.col("_tt"), F.lit(0)).cast("double")
+    # composed EXACTLY as the SQL oracle replays it (term order matters
+    # at the ulp level): (ln(ct+a) - ln(Tt+aB)) - (ln(cr+a) - ln(Tr+aB))
+    lr = (
+        F.log(ct + F.lit(a)) - F.log(tt + F.lit(a * B))
+    ) - (F.log(cr + F.lit(a)) - F.log(tr + F.lit(a * B)))
+    return j.select("bucket", lr.alias("log_ratio"))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    logratio_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: the sum over the doc's
+    hashed grams of the bucket log-ratio.  Documents with zero grams
+    get weight 0.0 (kept eligible — selection then rides on the Gumbel
+    noise alone).  Returns ``(<id_col>, logw DOUBLE)`` for EVERY input
+    row.
+
+    Pass ``logratio_df`` (from ``dsir_bucket_logratio``) to reuse a
+    ratio table across corpora shards; by default it is computed from
+    (df, target_df).  The join against the ratio table is broadcast
+    (``buckets`` rows); per-doc aggregation is a hash aggregate keyed
+    on (id, bucket) then id — text itself never shuffles.
+    """
+    if logratio_df is None:
+        logratio_df = dsir_bucket_logratio(
+            df, target_df, text_col, buckets, smoothing
+        )
+    per = (
+        _doc_grams(df, text_col, id_col)
+        .groupBy(
+            F.col(id_col),
+            _hash_bucket(F.col("_gram"), int(buckets)).alias("bucket"),
+        )
+        .agg(F.count("*").alias("_n"))
+        .join(F.broadcast(logratio_df), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_n") * F.col("log_ratio")).alias("logw"))
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(id_col, F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR selection: importance resampling WITHOUT replacement via
+    the Gumbel top-k trick — rank by ``logw + Gumbel(seed, id)`` and
+    take the top ``n``; equivalent to drawing n docs without
+    replacement with probability proportional to the importance weight
+    (Vieira 2014).  The Gumbel draw is the engine's deterministic
+    md5-uniform shifted to the open interval ((h+0.5)/2^60), so the
+    whole selection is partition-independent and SQL-replayable.
+
+    Ranking uses the 4-decimal-rounded key with an id tie-break (the
+    collocations_pmi portable-ordering rule: per-doc float sums are
+    hash-aggregation-order dependent at the ulp level, so full-
+    precision ORDER BY would not be engine-portable).
+
+    Returns the selected ``(<id_col>, logw, key)`` rows, ``logw`` and
+    ``key`` rounded to 4 decimals, ordered by (key DESC, id ASC).
+    """
+    w = dsir_weights(df, target_df, text_col, id_col, buckets, smoothing)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(int(seed))), F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.col("logw") + (-F.log(-F.log(u)))
+    return (
+        w.select(
+            F.col(id_col),
+            F.round("logw", 4).alias("logw"),
+            F.round(key, 4).alias("key"),
+        )
+        .orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(int(n))
+    )
