@@ -1215,6 +1215,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), budget=256
         ).orderBy("pack_id", "doc_id")
 
+    def bpe_stats_q(spark, sf_dir):
+        """BPE tokenizer contract (textops/bpe.py; Sennrich et al.
+        2016): train 200 merges on the corpus word-frequency table,
+        encode the whole corpus with the Arrow kernel, persist merges +
+        tokens at a fixed path, and emit the corpus-wide invariant
+        scorecard: n_docs (every doc encoded), n_words ==
+        n_end_tokens (each word emits exactly one </w>-terminated
+        token), roundtrip_mismatches == 0 (token concatenation
+        reproduces word+marker byte-for-byte), unmergeable_pairs == 0
+        (the encode is a merge-rule fixpoint: no adjacent token pair
+        is still a rule), oov_tokens == 0 (every multi-char token is a
+        learned symbol).  DuckDB recomputes every column independently
+        from documents + the persisted merges/tokens — a drift in the
+        encoder, the trainer output shape, or the persisted layout
+        breaks the hash.  Merge-ORDER correctness (which pair wins
+        each round) is pytest territory: test_bpe.py pins the
+        incremental trainer against a naive recount reimplementation
+        and the hand-derived Sennrich merges."""
+        import shutil
+
+        from searchlite_spark.textops.bpe import END, bpe_encode, bpe_train
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        out = "/tmp/searchlite_entry/bpe_current"
+        marker = os.path.join(out, "_sf_" + tag)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            merges = bpe_train(docs, num_merges=200, min_pair_count=2)
+            spark.createDataFrame(
+                [(i, a, b) for i, (a, b) in enumerate(merges)],
+                "rank INT, left_sym STRING, right_sym STRING",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, "merges")
+            )
+            bpe_encode(docs, merges).write.mode("overwrite").parquet(
+                os.path.join(out, "tokens")
+            )
+            with open(marker, "w") as fh:
+                fh.write(tag)
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in spark.read.parquet(os.path.join(out, "merges"))
+            .orderBy("rank")
+            .collect()
+        ]
+        enc = spark.read.parquet(os.path.join(out, "tokens"))
+        sep = "\x01"
+        vocab = spark.createDataFrame(
+            [(a + b,) for a, b in merges], "sym STRING"
+        )
+        rules = spark.createDataFrame(
+            [(a + sep + b,) for a, b in merges], "pk STRING"
+        )
+        toks_f = F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        )
+        expected = F.concat_ws(
+            "", F.transform(toks_f, lambda w: F.concat(w, F.lit(END)))
+        )
+        joined = docs.join(enc, "doc_id").select(
+            toks_f.alias("_ws"),
+            "tokens",
+            "n_tokens",
+            (F.concat_ws("", F.col("tokens")) != expected)
+            .cast("int")
+            .alias("_bad_rt"),
+        )
+        base = joined.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("_ws")).cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+            F.sum(
+                F.size(F.filter(F.col("tokens"), lambda t: t.endswith(END)))
+            ).cast("long").alias("n_end_tokens"),
+            F.sum("_bad_rt").cast("long").alias("roundtrip_mismatches"),
+        )
+        flat = enc.select(F.explode("tokens").alias("t"))
+        oov = (
+            flat.where((F.length("t") > 1) & (F.col("t") != END))
+            .join(F.broadcast(vocab), F.col("t") == F.col("sym"), "left_anti")
+            .agg(F.count("*").cast("long").alias("oov_tokens"))
+        )
+        pairs_expr = F.when(F.size("tokens") < 2, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - 2),
+                lambda i: F.concat(
+                    F.element_at("tokens", (i + 1).cast("int")),
+                    F.lit(sep),
+                    F.element_at("tokens", (i + 2).cast("int")),
+                ),
+            )
+        )
+        unm = (
+            enc.select(F.explode(pairs_expr).alias("pk"))
+            .join(F.broadcast(rules), "pk")
+            .agg(F.count("*").cast("long").alias("unmergeable_pairs"))
+        )
+        return (
+            base.crossJoin(oov)
+            .crossJoin(unm)
+            .withColumn("n_rules", F.lit(len(merges)).cast("long"))
+            .select(
+                "n_docs", "n_words", "n_rules", "n_tokens_total",
+                "n_end_tokens", "roundtrip_mismatches",
+                "unmergeable_pairs", "oov_tokens",
+            )
+        )
+
     def dsir_select_q(spark, sf_dir):
         """DSIR data selection (textops/sampling.py dsir_select; Xie
         et al. 2023, arXiv:2302.03169): top-20 documents by hashed-
@@ -2371,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cosine_near_dups=cosine_near_dups,
         semantic_dedup=semantic_dedup_q,
         dsir_select=dsir_select_q,
+        bpe_encode_stats=bpe_stats_q,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
@@ -2488,6 +2598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at sf0.01+sf1 this round — BENCH.md session-6 gate; quality.py
     # untouched this session and the module keeps collocations_pmi +
     # doc_cross_entropy in-window).
+    # And bpe_encode_stats (textops/bpe.py — NEW module: distributed
+    # BPE tokenizer training statistics + Arrow-kernel encoding with a
+    # corpus-wide invariant scorecard), paid for by deferring
+    # ngram_jaccard (green r04, re-verified externally at sf0.01+sf1
+    # this round — BENCH.md session-6 gate; dedup.py untouched this
+    # session, and the gram machinery keeps dup_window_stats +
+    # dedup_components + dedup_near_survivors in-window).
     _deferred = [
         "hybrid_search",         # green r04 + sf0.01/sf1 re-verification this
                                  # round; hybrid_filtered stays in-window and
@@ -2499,6 +2616,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  # collocations_pmi + doc_cross_entropy stay
                                  # in-window — deferred to admit the NEW
                                  # dsir_select row (MUST return in r07)
+        "ngram_jaccard",         # green r04 + sf0.01/sf1 re-verification this
+                                 # round; dedup.py untouched in session 6,
+                                 # dup_window_stats + the components rows keep
+                                 # the gram/pair machinery in-window —
+                                 # deferred to admit the NEW bpe_encode_stats
+                                 # row (MUST return in r07)
         "agg_stats_nchars",      # green r04 + sf0.01/sf1 re-verification this
                                  # round; aggs.py untouched in r06; eight
                                  # sibling agg rows stay in-window — deferred
@@ -4292,4 +4415,52 @@ k AS (
 )
 SELECT doc_id, logw, "key" FROM k
 ORDER BY "key" DESC, doc_id ASC LIMIT 20"""
+
+    # bpe_encode_stats: every scorecard column recomputed independently
+    # from documents + the persisted merges/tokens (fixed path, rebuilt
+    # per sf before the oracle runs).  The invariants are the encode
+    # CONTRACT — roundtrip byte-identity, one </w> token per word,
+    # merge-rule fixpoint, vocabulary closure — so they hold only if
+    # the Arrow kernel, the merge table, and the persisted layout all
+    # agree; merge-order correctness itself is pytest-pinned.
+    O["bpe_encode_stats"] = """
+WITH tk AS (
+  SELECT doc_id, tokens
+  FROM '/tmp/searchlite_entry/bpe_current/tokens/*.parquet'
+),
+mg AS (
+  SELECT rank, left_sym, right_sym
+  FROM '/tmp/searchlite_entry/bpe_current/merges/*.parquet'
+),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+j AS (SELECT d.doc_id, d.ws, tk.tokens FROM d JOIN tk USING (doc_id)),
+flat AS (SELECT doc_id, u.t FROM tk, unnest(tokens) AS u(t)),
+prs AS (
+  SELECT u.pk
+  FROM tk, unnest([
+    tokens[i] || chr(1) || tokens[i + 1]
+    for i in generate_series(1, greatest(len(tokens) - 1, 0))
+  ]) AS u(pk)
+)
+SELECT
+  (SELECT count(*) FROM j)::BIGINT AS n_docs,
+  (SELECT coalesce(sum(len(ws)), 0) FROM j)::BIGINT AS n_words,
+  (SELECT count(*) FROM mg)::BIGINT AS n_rules,
+  (SELECT coalesce(sum(len(tokens)), 0) FROM j)::BIGINT AS n_tokens_total,
+  (SELECT count(*) FROM flat WHERE t LIKE '%</w>')::BIGINT AS n_end_tokens,
+  (SELECT count(*) FROM j
+   WHERE array_to_string(tokens, '')
+         <> array_to_string(list_transform(ws, w -> w || '</w>'), '')
+  )::BIGINT AS roundtrip_mismatches,
+  (SELECT count(*) FROM prs
+   JOIN (SELECT left_sym || chr(1) || right_sym AS pk FROM mg) r
+   USING (pk))::BIGINT AS unmergeable_pairs,
+  (SELECT count(*) FROM flat
+   WHERE length(t) > 1 AND t <> '</w>'
+     AND t NOT IN (SELECT left_sym || right_sym FROM mg)
+  )::BIGINT AS oov_tokens"""
     return O

@@ -62,6 +62,13 @@ from searchlite_spark.textops.quality import (  # noqa: F401
     collocations_pmi,
     unigram_cross_entropy,
 )
+from searchlite_spark.textops.bpe import (  # noqa: F401
+    bpe_encode,
+    bpe_train,
+    bpe_vocab,
+    learn_merges,
+    word_counts,
+)
 from searchlite_spark.textops.extract import (  # noqa: F401
     extract_text,
     extract_text_col,
