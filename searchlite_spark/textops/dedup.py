@@ -455,6 +455,7 @@ def duplicate_window_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 8,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """(id, n_windows, n_dup_windows, dup_frac_r) — per-document
     duplicated-span signal in the style of ExactSubstr (Lee et al.,
@@ -470,21 +471,36 @@ def duplicate_window_stats(
     count > 1 — tiny relative to the corpus) is built with one
     map-side-partial aggregate and localCheckpoint'ed; the per-doc dup
     count is a semi-join of the re-exploded grams against it.  Two
-    gram-explode scans total, text never shuffles.  At that scale the
-    gram key should be a 128-bit hash instead of the literal string
-    (same plan, 10-20x less shuffle width); the literal key keeps the
-    operator exactly replayable by the external oracle."""
+    gram-explode scans total, text never shuffles.
+
+    ``hash_keys=True`` is the web-scale switch: the gram key becomes a
+    pair of independent xxhash64 values (16 bytes, vs ~window×word
+    bytes of literal string — 3-6x less exchange/aggregate width at
+    window=8, more for long words), with identical output up to
+    128-bit collisions (a false dup needs BOTH halves to collide:
+    P ~ n^2/2^129, ~1e-24 at 10^12 windows).  The literal-key default
+    stays exactly replayable by the external SQL oracle; the hashed
+    variant is pytest-pinned equal to it."""
     grams = shingles(F.col(text_col), window)
     g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    if hash_keys:
+        g = g.select(
+            F.col(id_col),
+            F.xxhash64("gram").alias("_h1"),
+            F.xxhash64(F.lit("dw2"), F.col("gram")).alias("_h2"),
+        )
+        keys = ["_h1", "_h2"]
+    else:
+        keys = ["gram"]
     dupg = (
-        g.groupBy("gram")
+        g.groupBy(*keys)
         .agg(F.count("*").alias("c"))
         .where(F.col("c") > 1)
-        .select("gram")
+        .select(*keys)
         .localCheckpoint()
     )
     n_dup = (
-        g.join(dupg, "gram", "left_semi")
+        g.join(dupg, keys, "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_dup_windows"))
     )

@@ -91,3 +91,15 @@ def test_duplicate_window_stats(spark):
     # (within-document duplication counts) and "n m n" twice
     assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (4, 4)
     assert out[4]["dup_frac_r"] == 1.0
+
+def test_duplicate_window_stats_hashed_equals_literal(spark):
+    """hash_keys=True must reproduce the literal-key output exactly
+    (collisions need both independent xxhash64 halves to agree)."""
+    from searchlite_spark.textops import duplicate_window_stats
+
+    rows = [(i, f"tok{i % 11} " * 12 + f"tail{i % 5} end") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    lit = sorted(map(tuple, duplicate_window_stats(df, window=4).collect()))
+    hsh = sorted(map(tuple, duplicate_window_stats(
+        df, window=4, hash_keys=True).collect()))
+    assert lit == hsh
