@@ -1215,6 +1215,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), budget=256
         ).orderBy("pack_id", "doc_id")
 
+    def drop_dup_spans_q(spark, sf_dir):
+        """ExactSubstr-style span removal (textops/dedup.py
+        drop_duplicated_spans; Lee et al.): the corpus + full copies
+        of every doc_id%7==0 doc (ids +1000000); every duplicated
+        8-token window keeps its first (doc_id, pos) occurrence and
+        masks the rest, docs rebuilt from surviving tokens.  The
+        oracle replays the whole transform — positioned grams, the
+        min-(doc,pos) canonical pick, the interval-union mask, and the
+        per-doc text rebuild — so the full cleaned TEXT of every doc
+        is value-hashed, not just counts."""
+        from searchlite_spark.textops import drop_duplicated_spans
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        corpus = docs.unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        return drop_duplicated_spans(corpus, window=8).orderBy("doc_id")
+
     def bpe_stats_q(spark, sf_dir):
         """BPE tokenizer contract (textops/bpe.py; Sennrich et al.
         2016): train 200 merges on the corpus word-frequency table,
@@ -2481,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         semantic_dedup=semantic_dedup_q,
         dsir_select=dsir_select_q,
         bpe_encode_stats=bpe_stats_q,
+        drop_dup_spans=drop_dup_spans_q,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
@@ -2605,7 +2626,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round — BENCH.md session-6 gate; dedup.py untouched this
     # session, and the gram machinery keeps dup_window_stats +
     # dedup_components + dedup_near_survivors in-window).
+    # And drop_dup_spans (textops/dedup.py drop_duplicated_spans —
+    # ExactSubstr-style span REMOVAL, the transform completing the
+    # dup_window_stats signal; additive change plus the opt-in
+    # hash_keys switch on the stats op, whose literal default path the
+    # in-window dup_window_stats row re-checks), paid for by deferring
+    # agg_cardinality_source (green r04, re-verified externally at
+    # sf0.01+sf1 this round — BENCH.md session-6 gate; aggs.py
+    # untouched all round, EIGHT agg siblings stay in-window).
     _deferred = [
+        "agg_cardinality_source",  # green r04 + sf0.01/sf1 re-verification
+                                 # this round; aggs.py untouched in r06;
+                                 # eight sibling agg rows stay in-window —
+                                 # deferred to admit the NEW drop_dup_spans
+                                 # row (MUST return in r07)
         "hybrid_search",         # green r04 + sf0.01/sf1 re-verification this
                                  # round; hybrid_filtered stays in-window and
                                  # exercises the superset path (multi-clause
@@ -4463,4 +4497,61 @@ SELECT
    WHERE length(t) > 1 AND t <> '</w>'
      AND t NOT IN (SELECT left_sym || right_sym FROM mg)
   )::BIGINT AS oov_tokens"""
+
+    # drop_dup_spans: the whole span-removal transform replays in SQL —
+    # positioned 8-grams (list_zip of parallel comprehensions), the
+    # min-(doc,pos) canonical occurrence, the interval-union token
+    # mask, and the ordered text rebuild; the cleaned text of every
+    # doc is value-hashed
+    O["drop_dup_spans"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+d AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM corpus
+),
+g AS (
+  SELECT doc_id, u.z[1]::BIGINT AS pos, u.z[2] AS gram
+  FROM d, unnest(list_zip(
+    [CAST(i - 1 AS VARCHAR)
+     for i in generate_series(1, greatest(len(toks) - 7, 0))],
+    [array_to_string(toks[i : i + 7], ' ')
+     for i in generate_series(1, greatest(len(toks) - 7, 0))])) AS u(z)
+),
+dup AS (
+  SELECT gram, min(struct_pack(d := doc_id, p := pos)) AS first
+  FROM g GROUP BY 1 HAVING count(*) > 1
+),
+bad AS (
+  SELECT g.doc_id, g.pos
+  FROM g JOIN dup USING (gram)
+  WHERE NOT (g.doc_id = dup.first.d AND g.pos = dup.first.p)
+),
+masked AS (
+  SELECT DISTINCT bad.doc_id, m.tokidx
+  FROM bad, unnest(generate_series(bad.pos, bad.pos + 7)) AS m(tokidx)
+),
+posed AS (
+  SELECT doc_id, u.z[1]::BIGINT AS tokidx, u.z[2] AS tok
+  FROM d, unnest(list_zip(
+    [CAST(i - 1 AS VARCHAR) for i in generate_series(1, len(toks))],
+    toks)) AS u(z)
+),
+kept AS (
+  SELECT p.doc_id,
+         array_to_string(list(p.tok ORDER BY p.tokidx), ' ') AS clean,
+         count(*) AS n_kept
+  FROM posed p
+  ANTI JOIN masked m ON p.doc_id = m.doc_id AND p.tokidx = m.tokidx
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(kept.clean, '') AS text,
+       len(d.toks)::BIGINT AS n_tokens_before,
+       (len(d.toks) - coalesce(kept.n_kept, 0))::BIGINT AS n_tokens_removed
+FROM d LEFT JOIN kept USING (doc_id)
+ORDER BY doc_id"""
     return O

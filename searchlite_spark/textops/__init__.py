@@ -25,6 +25,7 @@ from searchlite_spark.textops.webclean import (  # noqa: F401
 from searchlite_spark.textops.dedup import (  # noqa: F401
     connected_components,
     decontaminate,
+    drop_duplicated_spans,
     duplicate_window_stats,
     exact_dedup,
     line_dedup,

@@ -530,6 +530,125 @@ def duplicate_window_stats(
     )
 
 
+def drop_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (Lee et al. — the transform that
+    `duplicate_window_stats` only measures): every rolling
+    ``window``-token span occurring more than once in the corpus keeps
+    its FIRST occurrence (lexicographically smallest (doc_id, pos))
+    and has every other occurrence's tokens deleted; each document is
+    rebuilt from its surviving tokens in order.
+
+    Returns one row per input row:
+    ``(id, text STRING, n_tokens_before LONG, n_tokens_removed LONG)``
+    with the cleaned text space-joined.  Deterministic and partition-
+    independent: the kept occurrence depends only on (doc_id, pos)
+    order.  Overlapping duplicated spans union their masks (the
+    suffix-array cut generalizes to interval union here), so a doc
+    duplicated wholesale loses everything but any first-occurrence
+    spans it owns.
+
+    100-TB shape mirrors duplicate_window_stats: one (gram) hash
+    aggregate keeps count + min-(doc,pos) — bounded per-group state —
+    checkpointed at the duplicated subset (tiny vs the corpus); the
+    mask join explodes only duplicated occurrences; the rebuild is a
+    per-doc sort_array over surviving tokens (state bounded by doc
+    length).  Text itself never shuffles — the corpus is tokenized in
+    three map-side scans (grams, positions, counts) rather than
+    checkpointing a corpus-sized token table.
+    """
+    W = int(window)
+    if W < 2:
+        raise ValueError("window must be >= 2")
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    tdf = df.select(F.col(id_col), toks.alias("_toks"))
+
+    def build(tcol):
+        # tcol is a lambda variable (bound once per row — see bind_once)
+        k = F.greatest(F.size(tcol) - (W - 1), F.lit(0))
+        return F.when(k <= 0, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(tcol, (i + j + 1).cast("int"))
+                            for j in range(W)
+                        ],
+                    ).alias("gram"),
+                ),
+            )
+        )
+
+    g = tdf.select(
+        F.col(id_col), F.explode(bind_once(F.col("_toks"), build)).alias("_g")
+    ).select(
+        F.col(id_col), F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct(F.col(id_col).alias("_d"), F.col("pos").alias("_p")))
+            .alias("_first"),
+        )
+        .where(F.col("_c") > 1)
+        .select("gram", F.col("_first._d").alias("_fd"), F.col("_first._p").alias("_fp"))
+        .localCheckpoint()
+    )
+    masked = (
+        g.join(dup, "gram")
+        .where(~((F.col(id_col) == F.col("_fd")) & (F.col("pos") == F.col("_fp"))))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(W - 1))
+            ).alias("_tokidx"),
+        )
+        .distinct()
+    )
+    posed = tdf.select(
+        F.col(id_col), F.posexplode("_toks").alias("_tokidx", "_tok")
+    ).withColumn("_tokidx", F.col("_tokidx").cast("long"))
+    kept = (
+        posed.join(masked, [id_col, "_tokidx"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_tokidx", "_tok"))
+                    ),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("_clean"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    base = tdf.select(
+        F.col(id_col), F.size("_toks").cast("long").alias("n_tokens_before")
+    )
+    return (
+        base.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("text"),
+            "n_tokens_before",
+            (
+                F.col("n_tokens_before")
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_tokens_removed"),
+        )
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
