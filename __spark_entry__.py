@@ -1215,6 +1215,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), budget=256
         ).orderBy("pack_id", "doc_id")
 
+    def pca_project_q(spark, sf_dir):
+        """PCA projection (textops/pca.py): train 4 components on the
+        embeddings (one Arrow moment pass + driver eigh), persist
+        mean+components at a fixed path, and project every vector with
+        the JVM fold.  The oracle replays the projection bit-for-bit
+        from the persisted artifacts (list_sum over the centered
+        element products == the zip_with/aggregate left fold — the
+        verified comprehension-fold identity); training parity with
+        numpy, orthonormality, and the sign convention are pytest
+        territory (test_pca.py)."""
+        import shutil
+
+        from searchlite_spark.textops import pca_project, pca_train
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        out = "/tmp/searchlite_entry/pca_current"
+        marker = os.path.join(out, "_sf_" + tag)
+        emb = _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        if not os.path.exists(marker):
+            shutil.rmtree(out, ignore_errors=True)
+            model = pca_train(emb, k=4)
+            spark.createDataFrame(
+                [(model["mean"],)], "mean ARRAY<DOUBLE>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, "mean")
+            )
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(model["components"])],
+                "rank INT, comp ARRAY<DOUBLE>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, "components")
+            )
+            with open(marker, "w") as fh:
+                fh.write(tag)
+        mean = list(
+            spark.read.parquet(os.path.join(out, "mean")).collect()[0]["mean"]
+        )
+        comps = [
+            list(r["comp"])
+            for r in spark.read.parquet(os.path.join(out, "components"))
+            .orderBy("rank")
+            .collect()
+        ]
+        proj = pca_project(emb, {"mean": mean, "components": comps})
+        return proj.select(
+            "vec_id",
+            *[
+                F.round(F.element_at("proj", i + 1), 4).alias(f"p{i}")
+                for i in range(4)
+            ],
+        ).orderBy("vec_id")
+
     def drop_dup_spans_q(spark, sf_dir):
         """ExactSubstr-style span removal (textops/dedup.py
         drop_duplicated_spans; Lee et al.): the corpus + full copies
@@ -2502,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dsir_select=dsir_select_q,
         bpe_encode_stats=bpe_stats_q,
         drop_dup_spans=drop_dup_spans_q,
+        pca_project=pca_project_q,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
@@ -2634,7 +2689,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # agg_cardinality_source (green r04, re-verified externally at
     # sf0.01+sf1 this round — BENCH.md session-6 gate; aggs.py
     # untouched all round, EIGHT agg siblings stay in-window).
+    # And pca_project (textops/pca.py — NEW module: PCA train via one
+    # Arrow moment pass + driver eigh, JVM-fold projection), paid for
+    # by deferring suggest_completion_s (green r04, re-verified
+    # externally at sf0.01+sf1 this round — BENCH.md session-6 gate;
+    # postprocess.py untouched this session, and the postprocess
+    # family keeps rescore_window, collapse_lang, highlight_fragment,
+    # and full_request in-window).
     _deferred = [
+        "suggest_completion_s",  # green r04 + sf0.01/sf1 re-verification
+                                 # this round; postprocess.py untouched in
+                                 # session 6; four postprocess siblings stay
+                                 # in-window — deferred to admit the NEW
+                                 # pca_project row (MUST return in r07)
         "agg_cardinality_source",  # green r04 + sf0.01/sf1 re-verification
                                  # this round; aggs.py untouched in r06;
                                  # eight sibling agg rows stay in-window —
@@ -4554,4 +4621,27 @@ SELECT d.doc_id, coalesce(kept.clean, '') AS text,
        (len(d.toks) - coalesce(kept.n_kept, 0))::BIGINT AS n_tokens_removed
 FROM d LEFT JOIN kept USING (doc_id)
 ORDER BY doc_id"""
+
+    # pca_project: projection replayed bit-for-bit from the persisted
+    # mean+components (fixed path, rebuilt per sf before the oracle
+    # runs): list_sum over the centered element products is the same
+    # IEEE-double left fold as the Spark zip_with/aggregate expression
+    O["pca_project"] = """
+WITH m AS (SELECT CAST(mean AS DOUBLE[]) AS mean
+           FROM '/tmp/searchlite_entry/pca_current/mean/*.parquet'),
+c AS (SELECT rank, CAST(comp AS DOUBLE[]) AS comp
+      FROM '/tmp/searchlite_entry/pca_current/components/*.parquet'),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT e.vec_id, c.rank,
+         list_sum([ (e.v[i] - m.mean[i]) * c.comp[i]
+                    for i in generate_series(1, len(e.v)) ]) AS val
+  FROM e CROSS JOIN m CROSS JOIN c
+)
+SELECT vec_id,
+       round(max(CASE WHEN rank = 0 THEN val END), 4) AS p0,
+       round(max(CASE WHEN rank = 1 THEN val END), 4) AS p1,
+       round(max(CASE WHEN rank = 2 THEN val END), 4) AS p2,
+       round(max(CASE WHEN rank = 3 THEN val END), 4) AS p3
+FROM p GROUP BY vec_id ORDER BY vec_id"""
     return O

@@ -70,6 +70,10 @@ from searchlite_spark.textops.bpe import (  # noqa: F401
     learn_merges,
     word_counts,
 )
+from searchlite_spark.textops.pca import (  # noqa: F401
+    pca_project,
+    pca_train,
+)
 from searchlite_spark.textops.extract import (  # noqa: F401
     extract_text,
     extract_text_col,
