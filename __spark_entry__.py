@@ -1215,6 +1215,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), budget=256
         ).orderBy("pack_id", "doc_id")
 
+    def bigram_ce_q(spark, sf_dir):
+        """Interpolated bigram LM cross-entropy (textops/quality.py
+        bigram_cross_entropy, interp=0.7): top-20 most-surprising docs
+        under the corpus's own Jelinek-Mercer bigram model.  The
+        oracle rebuilds both dictionaries and every per-position
+        log-probability with lag() and replays the interpolation with
+        the literal `(1.0 - 0.7)` so the IEEE constant matches the
+        engine's `1.0 - lam` exactly; ranked by the 4-decimal score
+        with id tie-break (the portable-ordering rule)."""
+        from searchlite_spark.textops import bigram_cross_entropy
+
+        return (
+            bigram_cross_entropy(_docs(spark, sf_dir), interp=0.7)
+            .orderBy(F.col("ce_r").desc_nulls_last(), F.col("doc_id").asc())
+            .limit(20)
+        )
+
     def pca_project_q(spark, sf_dir):
         """PCA projection (textops/pca.py): train 4 components on the
         embeddings (one Arrow moment pass + driver eigh), persist
@@ -2557,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_encode_stats=bpe_stats_q,
         drop_dup_spans=drop_dup_spans_q,
         pca_project=pca_project_q,
+        bigram_ce=bigram_ce_q,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
@@ -2696,7 +2714,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # postprocess.py untouched this session, and the postprocess
     # family keeps rescore_window, collapse_lang, highlight_fragment,
     # and full_request in-window).
+    # And bigram_ce (textops/quality.py bigram_cross_entropy — the
+    # interpolated-bigram step up from the in-window doc_cross_entropy;
+    # additive change), paid for by deferring constant_score_filter
+    # (green r04, re-verified externally at sf0.01+sf1 this round —
+    # BENCH.md session-6 gate; scoring.py untouched all round and
+    # function_score_fvf keeps the scoring-hook region in-window).
     _deferred = [
+        "constant_score_filter", # green r04 + sf0.01/sf1 re-verification
+                                 # this round; scoring.py untouched in r06;
+                                 # function_score_fvf stays in-window on the
+                                 # same custom-score hook region — deferred
+                                 # to admit the NEW bigram_ce row (MUST
+                                 # return in r07)
         "suggest_completion_s",  # green r04 + sf0.01/sf1 re-verification
                                  # this round; postprocess.py untouched in
                                  # session 6; four postprocess siblings stay
@@ -4644,4 +4674,44 @@ SELECT vec_id,
        round(max(CASE WHEN rank = 2 THEN val END), 4) AS p2,
        round(max(CASE WHEN rank = 3 THEN val END), 4) AS p3
 FROM p GROUP BY vec_id ORDER BY vec_id"""
+
+    # bigram_ce: both dictionaries and every per-position logp replayed
+    # with lag(); the interpolation constant is written (1.0 - 0.7) so
+    # the IEEE double matches the engine's `1.0 - lam` bit-for-bit
+    O["bigram_ce"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, u.z[1]::BIGINT AS pos, u.z[2] AS w
+  FROM d, unnest(list_zip(
+    [CAST(i - 1 AS VARCHAR) for i in generate_series(1, len(toks))],
+    toks)) AS u(z)
+),
+p AS (
+  SELECT doc_id, pos, w AS cur,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM t
+),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY 1),
+big AS (SELECT prev, cur, count(*)::BIGINT AS c12
+        FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+n AS (SELECT (SELECT sum(c) FROM uni)::DOUBLE AS nt),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN p.prev IS NULL THEN ln(u2.c / n.nt)
+              ELSE ln(0.7 * (coalesce(big.c12, 0) / u1.c)
+                      + (1.0 - 0.7) * (u2.c / n.nt))
+         END AS logp
+  FROM p JOIN uni u2 ON u2.w = p.cur
+  LEFT JOIN uni u1 ON u1.w = p.prev
+  LEFT JOIN big ON big.prev = p.prev AND big.cur = p.cur
+  CROSS JOIN n
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(-avg(logp), 4) AS ce_r
+FROM sc GROUP BY 1
+ORDER BY ce_r DESC NULLS LAST, doc_id ASC LIMIT 20"""
     return O

@@ -56,6 +56,7 @@ from searchlite_spark.textops.similarity import (  # noqa: F401
     semantic_dedup,
 )
 from searchlite_spark.textops.quality import (  # noqa: F401
+    bigram_cross_entropy,
     token_stats,
     quality_score,
     langid,

@@ -218,6 +218,105 @@ def unigram_cross_entropy(
     )
 
 
+def bigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    interp: float = 0.7,
+) -> DataFrame:
+    """(id, n_tokens, ce_r) — per-document cross-entropy under a
+    Jelinek-Mercer interpolated bigram model of the corpus itself (one
+    step up the n-gram ladder from ``unigram_cross_entropy``; CCNet
+    uses a 5-gram KenLM — the interpolation is what keeps unseen
+    bigrams finite):
+
+        p(w_i | w_{i-1}) = interp * c(w_{i-1} w_i)/c(w_{i-1})
+                         + (1 - interp) * c(w_i)/Nt
+        ce = -(1/n) * [ ln(c(w_1)/Nt) + sum_{i>1} ln p(w_i|w_{i-1}) ]
+
+    (the first token is scored by the unigram model).  ``interp`` must
+    be in [0, 1): at 1.0 an unseen cross-doc bigram would hit ln(0).
+
+    100-TB shape mirrors unigram_cross_entropy: unigram + bigram count
+    tables built map-side-partial and localCheckpoint'ed; scoring is
+    one explode of (prev, cur) pairs derived from the token array (no
+    lag window — NO shuffle of the token stream) joined against the
+    two dictionaries, then a per-doc re-aggregate.  Zero-token docs
+    keep NULL ce."""
+    lam = float(interp)
+    if not (0.0 <= lam < 1.0):
+        raise ValueError("interp must be in [0, 1)")
+    toks = _tokens(F.col(text_col))
+
+    def build(tcol):
+        n = F.size(tcol)
+        return F.when(n <= 0, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.struct(
+                    F.when(
+                        i > 0, F.element_at(tcol, i.cast("int"))
+                    ).alias("prev"),
+                    F.element_at(tcol, (i + 1).cast("int")).alias("cur"),
+                ),
+            )
+        )
+
+    from searchlite_spark.textops.dedup import bind_once
+
+    pairs = df.select(
+        F.col(id_col), F.explode(bind_once(toks, build)).alias("_p")
+    ).select(
+        F.col(id_col),
+        F.col("_p.prev").alias("prev"),
+        F.col("_p.cur").alias("cur"),
+    )
+    uni = (
+        pairs.groupBy(F.col("cur").alias("w"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    big = (
+        pairs.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint()
+    )
+    nt = uni.agg(F.sum("c").cast("double").alias("nt"))
+    u_cur = uni.select(F.col("w").alias("cur"), F.col("c").alias("c2"))
+    u_prev = uni.select(F.col("w").alias("prev"), F.col("c").alias("c1"))
+    j = (
+        pairs.join(u_cur, "cur")
+        .join(u_prev, "prev", "left")
+        .join(big, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(nt))
+    )
+    p_uni = F.col("c2") / F.col("nt")
+    p_int = (
+        F.lit(lam) * (F.coalesce(F.col("c12"), F.lit(0)) / F.col("c1"))
+        + F.lit(1.0 - lam) * p_uni
+    )
+    logp = F.when(F.col("prev").isNull(), F.log(p_uni)).otherwise(
+        F.log(p_int)
+    )
+    scored = j.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (-F.avg(logp)).alias("ce"),
+    )
+    empties = (
+        df.select(F.col(id_col))
+        .where(F.size(toks) == 0)
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("ce"),
+        )
+    )
+    return scored.unionByName(empties).select(
+        id_col, "n_tokens", F.round("ce", 4).alias("ce_r")
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint LONG) — rolling polynomial hash over tokens:
     acc = (acc * 131 + tval) mod (2^31 - 1), where tval =

@@ -103,3 +103,62 @@ def test_duplicate_window_stats_hashed_equals_literal(spark):
     hsh = sorted(map(tuple, duplicate_window_stats(
         df, window=4, hash_keys=True).collect()))
     assert lit == hsh
+
+def test_bigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from searchlite_spark.textops import bigram_cross_entropy
+
+    # corpus tokens: doc0 = a b a b ; doc1 = a b c ; doc2 = ""
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_cross_entropy(df, interp=0.5).collect()}
+    # counts: a=3 b=3 c=1, Nt=7; bigrams: (a,b)=3, (b,a)=1, (b,c)=1
+    nt = 7.0
+    lam = 0.5
+
+    def p(c12, c1, c2):
+        return lam * (c12 / c1) + (1 - lam) * (c2 / nt)
+
+    ce0 = -(
+        math.log(3 / nt)            # first 'a' unigram
+        + math.log(p(3, 3, 3))      # a->b
+        + math.log(p(1, 3, 3))      # b->a
+        + math.log(p(3, 3, 3))      # a->b
+    ) / 4
+    ce1 = -(
+        math.log(3 / nt)
+        + math.log(p(3, 3, 3))      # a->b
+        + math.log(p(1, 3, 1))      # b->c
+    ) / 3
+    assert out[0]["n_tokens"] == 4 and out[0]["ce_r"] == round(ce0, 4)
+    assert out[1]["n_tokens"] == 3 and out[1]["ce_r"] == round(ce1, 4)
+    assert out[2]["n_tokens"] == 0 and out[2]["ce_r"] is None
+
+
+def test_bigram_ce_interp_zero_is_unigram(spark):
+    from searchlite_spark.textops import (
+        bigram_cross_entropy,
+        unigram_cross_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 3} x y w{i % 2} z") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    a = sorted(map(tuple, bigram_cross_entropy(df, interp=0.0).collect()))
+    b = sorted(map(tuple, unigram_cross_entropy(df).collect()))
+    assert a == b
+
+
+def test_bigram_ce_validation(spark):
+    import pytest as _pt
+
+    from searchlite_spark.textops import bigram_cross_entropy
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id LONG, text STRING")
+    with _pt.raises(ValueError):
+        bigram_cross_entropy(df, interp=1.0)
