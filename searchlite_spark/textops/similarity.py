@@ -1062,6 +1062,10 @@ def semantic_dedup(
         if keep == "far"
         else [F.col("_ccos").desc(), F.col(id_col).asc()]
     )
+    # localCheckpoint: the pair join consumes ranked on BOTH sides, and
+    # Catalyst does not reuse the (assignment crossJoin + window)
+    # subtree across self-join aliases — without the cut the corpus
+    # would be assigned and ranked twice (verified in PLANS.md)
     ranked = with_cos.select(
         id_col,
         "list_id",
@@ -1070,7 +1074,7 @@ def semantic_dedup(
         F.row_number()
         .over(Window.partitionBy("list_id").orderBy(*order))
         .alias("rank"),
-    )
+    ).localCheckpoint()
     if max_cluster_rank is not None and warn_on_overflow:
         over = (
             ranked.where(F.col("rank") > int(max_cluster_rank))
