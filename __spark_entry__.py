@@ -2520,7 +2520,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("list_id")
             .collect()
         ]
-        dec = semantic_dedup(aug, eps=0.95, centroids=cents)
+        # kernel="fold": the bit-exact column-expression path the SQL
+        # oracle replays; the default arrow/BLAS path is pytest-pinned
+        # decision-equal and is the production speed path (BENCH.md)
+        dec = semantic_dedup(aug, eps=0.95, centroids=cents, kernel="fold")
         return (
             dec.groupBy("list_id")
             .agg(

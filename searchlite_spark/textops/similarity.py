@@ -973,6 +973,50 @@ def ivf_index_search(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def _kmeans_np(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    sample_size: int | None,
+) -> list[list[float]]:
+    """Driver-side numpy Lloyd over a deterministic hash-ordered
+    sample (the same xxhash64 order statistic as ivf_train, the same
+    bounded-sample playbook as pca_train/bpe_train): collect <=
+    sample_size rows once, run k-means in BLAS.  At 50k x 64 x k=512
+    this is ~3 GFLOP — milliseconds, where the interpreted-fold
+    crossJoin trainer needs minutes.  Ties (argmin) break to the
+    lowest cell index, matching _nearest_list/_sqdist_cols."""
+    import numpy as np
+
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(F.col(vec_col).isNotNull())
+    cap = int(sample_size) if sample_size is not None else 1_000_000
+    rows = (
+        vecs.orderBy(F.xxhash64("_id"), F.col("_id")).limit(cap).collect()
+    )
+    if not rows:
+        raise ValueError("semantic_dedup: empty input")
+    x = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    cents = x[: int(k)].copy()
+    x2 = (x * x).sum(axis=1)
+    for _ in range(int(iters)):
+        d = (
+            x2[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
 def semantic_dedup(
     df: DataFrame,
     eps: float = 0.95,
@@ -985,6 +1029,7 @@ def semantic_dedup(
     keep: str = "far",
     max_cluster_rank: int | None = None,
     warn_on_overflow: bool = True,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster pairwise
@@ -1022,50 +1067,106 @@ def semantic_dedup(
     overflowing clusters raise a RuntimeWarning unless
     ``warn_on_overflow=False``.  Zero-norm vectors are excluded
     (cosine undefined), matching cosine_near_pairs.
+
+    ``kernel`` picks the inner math:
+      * ``"arrow"`` (default): numpy/BLAS — driver-sample k-means
+        (``_kmeans_np``), a mapInPandas argmin assignment, and a
+        per-cell applyInPandas blockwise matmul for the predecessor
+        maxima (per-group state = one cell's c x dim matrix — the
+        same bounded-cell contract as the pair join).  Measured ~50x
+        faster than the fold path at 200k x 64 / k=512 (BENCH.md);
+        values can differ from the fold path by ulps (SIMD/FMA
+        reassociation), which flips a decision only when a pair sits
+        within fp error of ``eps``.
+      * ``"fold"``: pure column expressions whose left-to-right
+        zip_with folds are BIT-IDENTICAL to the external oracle's SQL
+        replay — the driver correctness row runs this path; pytest
+        pins arrow == fold decisions on clustered test data.
     """
     import warnings
 
     if keep not in ("far", "near"):
         raise ValueError(f"semantic_dedup: keep must be 'far'|'near', got {keep!r}")
+    if kernel not in ("arrow", "fold"):
+        raise ValueError(f"semantic_dedup: kernel must be 'arrow'|'fold', got {kernel!r}")
     vecs = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).where(_norm(F.col(vec_col)) > 0)
-    if centroids is None:
-        if int(k_lists) <= LITERAL_KMEANS_MAX:
-            centroids = ivf_train(
-                vecs, k_lists, "_v", id_col, iters, sample_size
-            )
-            cdf = None
-        else:
-            cdf = ivf_train_df(vecs, k_lists, "_v", id_col, iters, sample_size)
-    else:
-        cdf = None
     spark = df.sparkSession
-    if cdf is None:
-        cdf = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "list_id INT, centroid ARRAY<DOUBLE>",
-        )
-    assigned = ivf_assign_df(vecs, cdf, "_v", id_col, "list_id")
-    ccos = _dot(F.col("_v"), F.col("centroid")) / (
-        _norm(F.col("_v")) * _norm(F.col("centroid"))
-    )
-    with_cos = (
-        assigned.join(F.broadcast(cdf), "list_id")
-        .select(id_col, "list_id", "_v", ccos.alias("_ccos"))
-    )
     from pyspark.sql.window import Window
 
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        if centroids is None:
+            centroids = _kmeans_np(
+                vecs, k_lists, iters, "_v", id_col, sample_size
+            )
+        C = np.array([list(c) for c in centroids], dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        cn = np.sqrt(c2)
+
+        def assign_batches(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                X = np.array(b["_v"].tolist(), dtype=np.float64)
+                x2 = (X * X).sum(axis=1)
+                G = X @ C.T
+                D = x2[:, None] - 2.0 * G + c2[None, :]
+                a = D.argmin(axis=1)  # first min = lowest cell, the tie rule
+                ccos = G[np.arange(len(a)), a] / (np.sqrt(x2) * cn[a])
+                yield pd.DataFrame(
+                    {
+                        id_col: b[id_col],
+                        "list_id": a.astype("int32"),
+                        "_ccos": ccos,
+                        "_v": b["_v"],
+                    }
+                )
+
+        with_cos = vecs.mapInPandas(
+            assign_batches,
+            f"{id_col} LONG, list_id INT, _ccos DOUBLE, _v ARRAY<DOUBLE>",
+        )
+    else:
+        if centroids is None:
+            if int(k_lists) <= LITERAL_KMEANS_MAX:
+                centroids = ivf_train(
+                    vecs, k_lists, "_v", id_col, iters, sample_size
+                )
+                cdf = None
+            else:
+                cdf = ivf_train_df(
+                    vecs, k_lists, "_v", id_col, iters, sample_size
+                )
+        else:
+            cdf = None
+        if cdf is None:
+            cdf = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "list_id INT, centroid ARRAY<DOUBLE>",
+            )
+        assigned = ivf_assign_df(vecs, cdf, "_v", id_col, "list_id")
+        ccos = _dot(F.col("_v"), F.col("centroid")) / (
+            _norm(F.col("_v")) * _norm(F.col("centroid"))
+        )
+        with_cos = (
+            assigned.join(F.broadcast(cdf), "list_id")
+            .select(id_col, "list_id", "_v", ccos.alias("_ccos"))
+        )
     order = (
         [F.col("_ccos").asc(), F.col(id_col).asc()]
         if keep == "far"
         else [F.col("_ccos").desc(), F.col(id_col).asc()]
     )
-    # localCheckpoint: the pair join consumes ranked on BOTH sides, and
-    # Catalyst does not reuse the (assignment crossJoin + window)
-    # subtree across self-join aliases — without the cut the corpus
-    # would be assigned and ranked twice (verified in PLANS.md)
+    # localCheckpoint: the pair stage consumes ranked on BOTH sides
+    # (fold) or needs a stable shuffled input (arrow), and Catalyst
+    # does not reuse the assignment+window subtree across self-join
+    # aliases — without the cut the corpus would be assigned and
+    # ranked twice (verified in PLANS.md)
     ranked = with_cos.select(
         id_col,
         "list_id",
@@ -1094,19 +1195,53 @@ def semantic_dedup(
                 RuntimeWarning,
                 stacklevel=2,
             )
-    left = ranked.alias("l")
-    right = ranked.alias("r")
-    pred = F.col("l.rank") < F.col("r.rank")
-    if max_cluster_rank is not None:
-        pred = pred & (F.col("l.rank") <= int(max_cluster_rank))
-    sim = _dot(F.col("l._v"), F.col("r._v")) / (
-        F.col("l._nrm") * F.col("r._nrm")
-    )
-    prior = (
-        left.join(right, (F.col("l.list_id") == F.col("r.list_id")) & pred)
-        .groupBy(F.col(f"r.{id_col}").alias(id_col))
-        .agg(F.max(sim).alias("max_prior_sim"))
-    )
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        cap_rank = int(max_cluster_rank) if max_cluster_rank else None
+
+        def cell_prior(pdf):
+            pdf = pdf.sort_values("rank")
+            n = len(pdf)
+            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            N = X / np.linalg.norm(X, axis=1, keepdims=True)
+            p = n if cap_rank is None else min(cap_rank, n)
+            pred = N[:p]
+            out: list = [None] * n
+            B = 2048
+            for s in range(1, n, B):
+                e = min(s + B, n)
+                G = pred @ N[s:e].T
+                for ci in range(e - s):
+                    m = min(s + ci, pred.shape[0])
+                    if m > 0:
+                        out[s + ci] = float(G[:m, ci].max())
+            return pd.DataFrame(
+                {id_col: pdf[id_col], "max_prior_sim": out}
+            )
+
+        prior = (
+            ranked.select(id_col, "list_id", "_v", "rank")
+            .groupBy("list_id")
+            .applyInPandas(
+                cell_prior, f"{id_col} LONG, max_prior_sim DOUBLE"
+            )
+        )
+    else:
+        left = ranked.alias("l")
+        right = ranked.alias("r")
+        pred = F.col("l.rank") < F.col("r.rank")
+        if max_cluster_rank is not None:
+            pred = pred & (F.col("l.rank") <= int(max_cluster_rank))
+        sim = _dot(F.col("l._v"), F.col("r._v")) / (
+            F.col("l._nrm") * F.col("r._nrm")
+        )
+        prior = (
+            left.join(right, (F.col("l.list_id") == F.col("r.list_id")) & pred)
+            .groupBy(F.col(f"r.{id_col}").alias(id_col))
+            .agg(F.max(sim).alias("max_prior_sim"))
+        )
     return (
         ranked.join(prior, id_col, "left")
         .select(

@@ -101,7 +101,9 @@ def test_matches_offline_replay(spark, base):
         if wm is None:
             assert gm is None
         else:
-            assert gm == pytest.approx(wm, abs=1e-12)
+            # default kernel is arrow/BLAS: ulp-level reassociation vs
+            # the offline python fold
+            assert gm == pytest.approx(wm, abs=1e-9)
 
 
 def test_exact_copies_dropped_with_certainty(spark, base):
@@ -169,6 +171,32 @@ def test_max_cluster_rank_caps_predecessors_and_warns(spark, base):
     for r in out:
         if not r["kept"]:
             assert not full[r["vec_id"]]["kept"]
+
+
+def test_arrow_kernel_equals_fold_kernel(spark, base):
+    """The BLAS speed path and the oracle-exact fold path must agree
+    on every decision (rank, kept) and to 1e-9 on the signal."""
+    from searchlite_spark.textops import ivf_train
+
+    cents = ivf_train(base, k_lists=4, iters=3)
+    a = {r["vec_id"]: r for r in semantic_dedup(
+        base, eps=0.96, centroids=cents, kernel="arrow").collect()}
+    f = {r["vec_id"]: r for r in semantic_dedup(
+        base, eps=0.96, centroids=cents, kernel="fold").collect()}
+    assert set(a) == set(f)
+    for i in a:
+        assert (a[i]["list_id"], a[i]["rank"], a[i]["kept"]) == (
+            f[i]["list_id"], f[i]["rank"], f[i]["kept"]), i
+        if f[i]["max_prior_sim"] is None:
+            assert a[i]["max_prior_sim"] is None
+        else:
+            assert a[i]["max_prior_sim"] == pytest.approx(
+                f[i]["max_prior_sim"], abs=1e-9)
+
+
+def test_kernel_validation(spark, base):
+    with pytest.raises(ValueError):
+        semantic_dedup(base, kernel="numpy")
 
 
 def test_zero_norm_excluded(spark):
