@@ -1278,10 +1278,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .collect()
         ]
         proj = pca_project(emb, {"mean": mean, "components": comps})
+        # + 0.0 collapses IEEE -0.0 to +0.0: projections are zero-mean,
+        # so round() lands on signed zero for near-zero coordinates and
+        # the engines disagree on the sign (seen at sf1)
         return proj.select(
             "vec_id",
             *[
-                F.round(F.element_at("proj", i + 1), 4).alias(f"p{i}")
+                (F.round(F.element_at("proj", i + 1), 4) + F.lit(0.0))
+                .alias(f"p{i}")
                 for i in range(4)
             ],
         ).orderBy("vec_id")
@@ -4599,10 +4603,13 @@ SELECT
   )::BIGINT AS oov_tokens"""
 
     # drop_dup_spans: the whole span-removal transform replays in SQL —
-    # positioned 8-grams (list_zip of parallel comprehensions), the
-    # min-(doc,pos) canonical occurrence, the interval-union token
-    # mask, and the ordered text rebuild; the cleaned text of every
-    # doc is value-hashed
+    # positioned 8-grams (positions-table join, NOT per-row list
+    # comprehensions), the min-(doc,pos) canonical occurrence ENCODED
+    # as min(doc_id*100000 + pos) (pos < 100000 by corpus shape; the
+    # struct_pack min aggregate was measured pathological in DuckDB —
+    # 141 s / 60 GB at 32k docs vs 0.3 s / 1 GB for the scalar form),
+    # the interval-union token mask, and the ordered text rebuild; the
+    # cleaned text of every doc is value-hashed
     O["drop_dup_spans"] = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -4614,32 +4621,31 @@ d AS (
          list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
   FROM corpus
 ),
+pos AS (
+  SELECT unnest(generate_series(1,
+           (SELECT greatest(max(len(toks)), 1) FROM d))) AS i
+),
 g AS (
-  SELECT doc_id, u.z[1]::BIGINT AS pos, u.z[2] AS gram
-  FROM d, unnest(list_zip(
-    [CAST(i - 1 AS VARCHAR)
-     for i in generate_series(1, greatest(len(toks) - 7, 0))],
-    [array_to_string(toks[i : i + 7], ' ')
-     for i in generate_series(1, greatest(len(toks) - 7, 0))])) AS u(z)
+  SELECT d.doc_id, pos.i - 1 AS pos,
+         array_to_string(d.toks[pos.i : pos.i + 7], ' ') AS gram
+  FROM d JOIN pos ON pos.i <= len(d.toks) - 7
 ),
 dup AS (
-  SELECT gram, min(struct_pack(d := doc_id, p := pos)) AS first
+  SELECT gram, min(doc_id * 100000 + pos) AS first_key
   FROM g GROUP BY 1 HAVING count(*) > 1
 ),
 bad AS (
   SELECT g.doc_id, g.pos
   FROM g JOIN dup USING (gram)
-  WHERE NOT (g.doc_id = dup.first.d AND g.pos = dup.first.p)
+  WHERE g.doc_id * 100000 + g.pos <> dup.first_key
 ),
 masked AS (
   SELECT DISTINCT bad.doc_id, m.tokidx
   FROM bad, unnest(generate_series(bad.pos, bad.pos + 7)) AS m(tokidx)
 ),
 posed AS (
-  SELECT doc_id, u.z[1]::BIGINT AS tokidx, u.z[2] AS tok
-  FROM d, unnest(list_zip(
-    [CAST(i - 1 AS VARCHAR) for i in generate_series(1, len(toks))],
-    toks)) AS u(z)
+  SELECT d.doc_id, pos.i - 1 AS tokidx, d.toks[pos.i] AS tok
+  FROM d JOIN pos ON pos.i <= len(d.toks)
 ),
 kept AS (
   SELECT p.doc_id,
@@ -4672,10 +4678,10 @@ p AS (
   FROM e CROSS JOIN m CROSS JOIN c
 )
 SELECT vec_id,
-       round(max(CASE WHEN rank = 0 THEN val END), 4) AS p0,
-       round(max(CASE WHEN rank = 1 THEN val END), 4) AS p1,
-       round(max(CASE WHEN rank = 2 THEN val END), 4) AS p2,
-       round(max(CASE WHEN rank = 3 THEN val END), 4) AS p3
+       round(max(CASE WHEN rank = 0 THEN val END), 4) + 0.0 AS p0,
+       round(max(CASE WHEN rank = 1 THEN val END), 4) + 0.0 AS p1,
+       round(max(CASE WHEN rank = 2 THEN val END), 4) + 0.0 AS p2,
+       round(max(CASE WHEN rank = 3 THEN val END), 4) + 0.0 AS p3
 FROM p GROUP BY vec_id ORDER BY vec_id"""
 
     # bigram_ce: both dictionaries and every per-position logp replayed

@@ -41,6 +41,14 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark("oracle_check", cores=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     con = duckdb.connect()
+    # DuckDB's default memory_limit is 80% of the BOX — sharing the
+    # process with a 48g Spark driver JVM, that OOM-killed the sf1
+    # gate (114 GB python RSS).  Cap it so heavy oracles spill to disk
+    # instead; override via DUCKDB_MEM for bigger hosts.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '16GB')}'"
+    )
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written dataset: glob the parts
