@@ -1215,6 +1215,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), budget=256
         ).orderBy("pack_id", "doc_id")
 
+    def corpus_splits_q(spark, sf_dir):
+        """Deterministic train/val/test splitting (textops/sampling.py
+        assign_splits): the md5-uniform draw against cumulative weight
+        thresholds, aggregated per split.  The oracle replays the draw
+        and the thresholds with the SAME left-to-right additions
+        (0.8, 0.8+0.15) so the boundary doubles are bit-identical."""
+        from searchlite_spark.textops import assign_splits
+
+        out = assign_splits(
+            _docs(spark, sf_dir),
+            {"train": 0.8, "val": 0.15, "test": 0.05},
+        )
+        return (
+            out.groupBy("split")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .orderBy("split")
+        )
+
     def bigram_ce_q(spark, sf_dir):
         """Interpolated bigram LM cross-entropy (textops/quality.py
         bigram_cross_entropy, interp=0.7): top-20 most-surprising docs
@@ -2582,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         drop_dup_spans=drop_dup_spans_q,
         pca_project=pca_project_q,
         bigram_ce=bigram_ce_q,
+        corpus_splits=corpus_splits_q,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
@@ -2727,7 +2749,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (green r04, re-verified externally at sf0.01+sf1 this round —
     # BENCH.md session-6 gate; scoring.py untouched all round and
     # function_score_fvf keeps the scoring-hook region in-window).
+    # And corpus_splits (textops/sampling.py assign_splits — the
+    # deterministic train/val/test splitter on the same md5 draw as
+    # the oracled sampler agg), paid for by deferring match_sorted
+    # (green r04, re-verified externally at sf0.01+sf1 this round —
+    # BENCH.md session-6 gate; the sorted/keyset engine path keeps
+    # search_after_sorted + cursor_page2 in-window).
     _deferred = [
+        "match_sorted",          # green r04 + sf0.01/sf1 re-verification
+                                 # this round; sorted/match-only path kept
+                                 # in-window by search_after_sorted +
+                                 # cursor_page2 — deferred to admit the NEW
+                                 # corpus_splits row (MUST return in r07)
         "constant_score_filter", # green r04 + sf0.01/sf1 re-verification
                                  # this round; scoring.py untouched in r06;
                                  # function_score_fvf stays in-window on the
@@ -4723,4 +4756,26 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(-avg(logp), 4) AS ce_r
 FROM sc GROUP BY 1
 ORDER BY ce_r DESC NULLS LAST, doc_id ASC LIMIT 20"""
+
+    # corpus_splits: the md5 draw + cumulative thresholds replayed with
+    # the SAME left-to-right additions (0.8, then 0.8 + 0.15) so the
+    # boundary doubles match the engine's python partial sums exactly
+    O["corpus_splits"] = """
+WITH s AS (
+  SELECT CASE
+           WHEN u < 0.8 THEN 'train'
+           WHEN u < 0.8 + 0.15 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         n_chars
+  FROM (
+    SELECT n_chars,
+           CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT)::DOUBLE / 1152921504606846976.0 AS u
+    FROM documents
+  )
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split ORDER BY split"""
     return O

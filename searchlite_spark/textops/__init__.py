@@ -9,6 +9,7 @@ from searchlite_spark.textops.multimodal import (  # noqa: F401
     sample_frames,
 )
 from searchlite_spark.textops.sampling import (  # noqa: F401
+    assign_splits,
     dsir_bucket_logratio,
     dsir_select,
     dsir_weights,

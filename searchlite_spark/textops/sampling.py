@@ -404,3 +404,49 @@ def dsir_select(
         .orderBy(F.col("key").desc(), F.col(id_col).asc())
         .limit(int(n))
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test splitting: adds ``out_col`` naming
+    the split, chosen by where the md5-uniform draw u(seed, id) falls
+    among the cumulative normalized ``weights`` (insertion order).
+    Every row gets exactly one split; the assignment depends only on
+    (seed, id) — stable across partitionings, cluster sizes, reruns,
+    and engines (the same draw the oracled ``sampler`` agg replays in
+    SQL).  Map-side only: no shuffle, no sampling job.
+
+    Float contract for oracle replay: thresholds are the literal
+    left-to-right partial sums of the normalized weights — replay them
+    with the SAME additions (e.g. ``u < 0.98 + 0.01``), not a
+    pre-folded decimal, or the boundary ulp differs.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = 0.0
+    for k, v in weights.items():
+        if float(v) < 0:
+            raise ValueError(f"split weight for {k!r} must be >= 0")
+        total += float(v)
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    u = sample_uniform(id_col=id_col, seed=seed)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum = cum + float(weights[name]) / total
+        cond = u < F.lit(cum)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)

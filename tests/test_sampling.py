@@ -125,3 +125,45 @@ def test_sample_by_fractions_many_strata(spark):
     df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
     fr = {("d%d" % s): 1.0 for s in range(2000)}
     assert sample_by_fractions(df, "source", fr).count() == 4000
+
+
+def test_assign_splits_deterministic_and_partitioning(spark):
+    import hashlib
+
+    from searchlite_spark.textops import assign_splits
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id LONG, text STRING"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in assign_splits(df, w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in assign_splits(df.repartition(13), w).collect()}
+    assert a == b
+    # offline replay of the draw and thresholds (same arithmetic)
+    t1 = 0.8 / 1.0
+    t2 = t1 + 0.1 / 1.0
+    for i, s in a.items():
+        u = int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        want = "train" if u < t1 else ("val" if u < t2 else "test")
+        assert s == want, i
+    # rough proportions
+    from collections import Counter
+    c = Counter(a.values())
+    assert 330 < c["train"] < 470 and c["val"] > 10 and c["test"] > 10
+
+
+def test_assign_splits_validation(spark):
+    import pytest as _pt
+
+    from searchlite_spark.textops import assign_splits
+
+    df = spark.createDataFrame([(0, "x")], "doc_id LONG, text STRING")
+    with _pt.raises(ValueError):
+        assign_splits(df, {})
+    with _pt.raises(ValueError):
+        assign_splits(df, {"a": -1.0})
+    with _pt.raises(ValueError):
+        assign_splits(df, {"a": 0.0})
+    one = assign_splits(df, {"only": 3.0}).collect()
+    assert one[0]["split"] == "only"
