@@ -1215,6 +1215,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), budget=256
         ).orderBy("pack_id", "doc_id")
 
+    def stratum_sample_q(spark, sf_dir):
+        """Exact-size per-stratum sampling (textops/sampling.py
+        sample_n_per_stratum): the 10 docs with the smallest
+        (md5-uniform, id) per lang — the skew-safe prefilter +
+        shortfall fallback produce exactly the semantics the oracle's
+        plain window replays."""
+        from searchlite_spark.textops import sample_n_per_stratum
+
+        out = sample_n_per_stratum(
+            _docs(spark, sf_dir), 10, strata_col="lang"
+        )
+        return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
     def corpus_splits_q(spark, sf_dir):
         """Deterministic train/val/test splitting (textops/sampling.py
         assign_splits): the md5-uniform draw against cumulative weight
@@ -2604,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pca_project=pca_project_q,
         bigram_ce=bigram_ce_q,
         corpus_splits=corpus_splits_q,
+        stratum_sample=stratum_sample_q,
         dedup_components=dedup_components_q,
         dedup_near_survivors=dedup_near_survivors_q,
         line_dedup_boilerplate=line_dedup_boilerplate,
@@ -2755,7 +2769,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (green r04, re-verified externally at sf0.01+sf1 this round —
     # BENCH.md session-6 gate; the sorted/keyset engine path keeps
     # search_after_sorted + cursor_page2 in-window).
+    # And stratum_sample (textops/sampling.py sample_n_per_stratum —
+    # exact-size per-stratum sampling with the skew-safe prefilter),
+    # paid for by deferring percentile_ranks_nchars (green r04,
+    # re-verified externally at sf0.01+sf1 this round — BENCH.md
+    # session-6 gate; aggs.py untouched all round, SEVEN agg siblings
+    # stay in-window).
     _deferred = [
+        "percentile_ranks_nchars",  # green r04 + sf0.01/sf1 re-verification
+                                 # this round; aggs.py untouched in r06;
+                                 # seven sibling agg rows stay in-window —
+                                 # deferred to admit the NEW stratum_sample
+                                 # row (MUST return in r07)
         "match_sorted",          # green r04 + sf0.01/sf1 re-verification
                                  # this round; sorted/match-only path kept
                                  # in-window by search_after_sorted +
@@ -4778,4 +4803,18 @@ WITH s AS (
 SELECT split, count(*)::BIGINT AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY split ORDER BY split"""
+
+    # stratum_sample: the plain-window replay of the skew-safe
+    # implementation — n smallest (md5-uniform, id) per stratum
+    O["stratum_sample"] = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT)::DOUBLE / 1152921504606846976.0 ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents WHERE lang IS NOT NULL
+) WHERE rn <= 10 ORDER BY lang, doc_id"""
     return O

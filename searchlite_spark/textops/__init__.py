@@ -11,6 +11,7 @@ from searchlite_spark.textops.multimodal import (  # noqa: F401
 from searchlite_spark.textops.sampling import (  # noqa: F401
     assign_splits,
     dsir_bucket_logratio,
+    sample_n_per_stratum,
     dsir_select,
     dsir_weights,
     mixture_fractions,

@@ -450,3 +450,72 @@ def assign_splits(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+def sample_n_per_stratum(
+    df: DataFrame,
+    n: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    prefilter_margin: float = 20.0,
+) -> DataFrame:
+    """Exact-size deterministic per-stratum sample: the ``n`` rows with
+    the smallest ``(u(seed, id), id)`` per stratum — fixed-size eval /
+    holdout sets that are stable across partitionings, reruns, and
+    engines (same md5 draw as ``assign_splits``).  Strata with fewer
+    than ``n`` rows return all their rows.
+
+    Skew shape: a naive per-stratum ``row_number`` window funnels a hot
+    stratum through ONE task.  Instead the draw itself prunes first:
+    with stratum count c, rows with ``u >= margin * n / c`` cannot be
+    in the top n except with probability exp(-Theta(n * margin)) —
+    so one counts job sets a per-stratum threshold, the window runs
+    over the ~margin*n survivors per stratum, and an exact shortfall
+    check re-runs any stratum the filter starved (never observed at
+    margin 20, but correctness must not rest on a tail bound).
+    NULL strata are dropped.
+    """
+    from pyspark.sql.window import Window
+
+    if int(n) <= 0:
+        raise ValueError("n must be positive")
+    base = df.where(F.col(strata_col).isNotNull())
+    u = sample_uniform(id_col=id_col, seed=seed)
+    counts = base.groupBy(strata_col).agg(F.count("*").alias("_c"))
+    thr = F.least(
+        F.lit(1.0),
+        F.lit(float(prefilter_margin) * int(n)) / F.col("_c"),
+    )
+    cand = base.join(F.broadcast(counts), strata_col).where(u < thr)
+
+    def top_n(src):
+        w = Window.partitionBy(strata_col).orderBy(
+            u.asc(), F.col(id_col).asc()
+        )
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(n))
+            .drop("_rn", "_c")
+        )
+
+    picked = top_n(cand)
+    got = picked.groupBy(strata_col).agg(F.count("*").alias("_g"))
+    short = (
+        counts.join(got, strata_col, "left")
+        .where(
+            F.coalesce(F.col("_g"), F.lit(0))
+            < F.least(F.lit(int(n)), F.col("_c"))
+        )
+        .select(strata_col)
+        .collect()
+    )
+    if short:
+        redo = [r[0] for r in short]
+        full = top_n(
+            base.join(F.broadcast(counts), strata_col).where(
+                F.col(strata_col).isin(redo)
+            )
+        )
+        picked = picked.where(~F.col(strata_col).isin(redo)).unionByName(full)
+    return picked

@@ -167,3 +167,52 @@ def test_assign_splits_validation(spark):
         assign_splits(df, {"a": 0.0})
     one = assign_splits(df, {"only": 3.0}).collect()
     assert one[0]["split"] == "only"
+
+
+def test_sample_n_per_stratum_exact_and_offline(spark):
+    import hashlib
+
+    from searchlite_spark.textops import sample_n_per_stratum
+
+    rows = [(i, ["a", "b", "c"][i % 3] if i % 17 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = sample_n_per_stratum(df, 7, strata_col="lang").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["lang"], []).append(r["doc_id"])
+
+    def u(i):
+        return int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+    want = {}
+    for i, lang in rows:
+        if lang is not None:
+            want.setdefault(lang, []).append(i)
+    for lang, ids in want.items():
+        ids.sort(key=lambda i: (u(i), i))
+        assert sorted(got[lang]) == sorted(ids[:7]), lang
+    # partition invariance
+    out2 = sample_n_per_stratum(df.repartition(11), 7, strata_col="lang").collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in out2) == sorted(
+        (r["lang"], r["doc_id"]) for r in out)
+
+
+def test_sample_n_per_stratum_small_and_starved(spark):
+    from searchlite_spark.textops import sample_n_per_stratum
+
+    df = spark.createDataFrame(
+        [(i, "x" if i < 3 else "y") for i in range(200)],
+        "doc_id LONG, lang STRING",
+    )
+    # stratum x has 3 < n=5 rows -> all 3 returned
+    out = sample_n_per_stratum(df, 5, strata_col="lang").collect()
+    xs = [r for r in out if r["lang"] == "x"]
+    ys = [r for r in out if r["lang"] == "y"]
+    assert len(xs) == 3 and len(ys) == 5
+    # a degenerate prefilter margin starves every stratum -> the exact
+    # fallback must still deliver the true top-n
+    starved = sample_n_per_stratum(
+        df, 5, strata_col="lang", prefilter_margin=1e-9
+    ).collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in starved) == sorted(
+        (r["lang"], r["doc_id"]) for r in out)
