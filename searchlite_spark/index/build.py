@@ -623,6 +623,18 @@ def build_index(
         phases[name] = round(now - _last[0], 3)
         _last[0] = now
 
+    # size-adaptive layout (guide §6: output files sized by BYTES, not
+    # by a core-count constant): when the caller does not pin
+    # num_partitions, the three table writes repartition WITHOUT a fixed
+    # partition number so AQE's byte-based coalescing
+    # (advisoryPartitionSizeInBytes) picks the reducer/file count from
+    # the actual shuffle size — a 10 MB index lands in 1-2 files per
+    # table instead of 32 ~300 KB ones (every query scan stage was
+    # paying 32 tasks of scheduling for kilobytes of work), while a
+    # 100 TB build gets ~advisory-sized files from the same rule.  The
+    # map-side tokenize parallelism is unaffected (it follows input
+    # splits).  Explicit num_partitions keeps the old fixed layout.
+    adaptive_layout = num_partitions is None
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -671,9 +683,17 @@ def build_index(
         # lineage runs exactly once with no cache materialization.
         chunk_w = max(n_docs // num_partitions, 1)
         salt = (F.col("doc_id") / F.lit(int(chunk_w))).cast("long")
-        postings_sorted = postings_flat.repartition(
-            num_partitions, F.col("term"), salt
-        ).sortWithinPartitions("term", "doc_id")
+        if adaptive_layout:
+            # no fixed N: AQE sizes the reducers (and thus the files)
+            # by bytes; rows within each coalesced partition are still
+            # (term, doc_id)-sorted by the local sort below
+            postings_sorted = postings_flat.repartition(
+                F.col("term"), salt
+            ).sortWithinPartitions("term", "doc_id")
+        else:
+            postings_sorted = postings_flat.repartition(
+                num_partitions, F.col("term"), salt
+            ).sortWithinPartitions("term", "doc_id")
         postings_sorted.write.mode("overwrite").parquet(postings_path)
     else:
         # round-2 layout: globally range-sorted files.  The range
@@ -701,6 +721,10 @@ def build_index(
         docs_store = docs.select(*dict.fromkeys(keep))
     if docs_layout == "copy":
         docs_store.write.mode("overwrite").parquet(docs_path)
+    elif adaptive_layout:
+        docs_store.repartitionByRange(F.col("doc_id")).sortWithinPartitions(
+            "doc_id"
+        ).write.mode("overwrite").parquet(docs_path)
     else:
         docs_store.repartitionByRange(num_partitions, "doc_id").sortWithinPartitions(
             "doc_id"
@@ -710,16 +734,20 @@ def build_index(
     # Term dictionary: df / collection frequency / max tf.  Map-side
     # partial aggregation absorbs head-term skew.
     terms_path = f"{out_dir}/terms"
-    (
-        postings.groupBy("term")
-        .agg(
-            F.first("field").alias("field"),
-            F.count("*").alias("df"),
-            F.sum("tf").alias("cf"),
-            F.max("tf").alias("max_tf"),
+    terms_agg = postings.groupBy("term").agg(
+        F.first("field").alias("field"),
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").alias("max_tf"),
+    )
+    if adaptive_layout:
+        terms_agg = terms_agg.repartitionByRange(F.col("term"))
+    else:
+        terms_agg = terms_agg.repartitionByRange(
+            max(num_partitions // 4, 1), "term"
         )
-        .repartitionByRange(max(num_partitions // 4, 1), "term")
-        .sortWithinPartitions("term")
+    (
+        terms_agg.sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(terms_path)
     )

@@ -135,24 +135,33 @@ def batch_topk(
     }
     max_k = max(k_by_query.values())
 
+    from searchlite_spark.localrel import local_df
+
     all_keys = sorted({key for wt in per_query.values() for key in wt})
     if not all_keys:
-        return spark.createDataFrame(
-            [], "query_id STRING, doc_id LONG, score DOUBLE, rank INT"
+        return local_df(
+            spark, [], "query_id STRING, doc_id LONG, score DOUBLE, rank INT"
         )
     stats = searcher._term_stats_for(all_keys)  # cached; one bounded job
     avgdl_map = searcher.stats["avgdl"]
     n_docs = int(searcher.stats["n_docs"])
 
+    # queries ride the plan as dense INT ordinals (_qx): the string id
+    # would otherwise be hashed/compared on EVERY joined posting row and
+    # shuffled twice; the int halves the agg-key bytes and the string
+    # comes back via a tiny broadcast join over the <= S*k ranked rows
+    qx_of = {str(qid): i for i, (qid, _req) in enumerate(items)}
     rows = []
+    total_joined = 0
     for qid, wt in per_query.items():
         for key, (weight, field) in wt.items():
             df_t, _ = stats[key]
             if df_t <= 0:
                 continue  # absent term scores nothing (engine parity)
+            total_joined += df_t
             rows.append(
                 (
-                    str(qid),
+                    qx_of[str(qid)],
                     key,
                     float(weight),
                     int(df_t),
@@ -160,11 +169,11 @@ def batch_topk(
                 )
             )
     if not rows:
-        return spark.createDataFrame(
-            [], "query_id STRING, doc_id LONG, score DOUBLE, rank INT"
+        return local_df(
+            spark, [], "query_id STRING, doc_id LONG, score DOUBLE, rank INT"
         )
-    qterms = spark.createDataFrame(
-        rows, "query_id STRING, term STRING, weight DOUBLE, df LONG, avgdl DOUBLE"
+    qterms = local_df(
+        spark, rows, "_qx INT, term STRING, weight DOUBLE, df LONG, avgdl DOUBLE"
     )
 
     live_keys = sorted({r[1] for r in rows})
@@ -172,10 +181,30 @@ def batch_topk(
     postings = searcher.postings.where(F.col("term").isin(live_keys)).select(
         "term", "doc_id", "tf", "dl"
     )
+    # the scan's task count follows FILE bytes, but the work after the
+    # broadcast join is ~Σ df(term) per referencing query rows of BM25
+    # arithmetic — orders of magnitude more rows than the scan's — so a
+    # size-packed scan (few big files) would run the whole batch on one
+    # or two tasks.  We know the joined row count EXACTLY from the
+    # dictionary dfs; repartition the slim scan output to a row-derived
+    # width (scale-adaptive, capped at spark.sql.shuffle.partitions)
+    # before fanning out the per-query contributions.
+    rows_per_task = int(
+        spark.conf.get("spark.searchlite.batch.rowsPerTask", "250000")
+    )
+    parts_cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nparts = max(1, min(parts_cap, int(total_joined // rows_per_task) + 1))
+    if nparts > 1:
+        postings = postings.repartition(nparts)
     joined = postings.join(F.broadcast(qterms), "term")
+    live_qx = sorted({r[0] for r in rows})
 
     # per-posting BM25 contribution — the single-query brute formula
-    # (bm25.py docstring; double precision, codegen'd), weighted
+    # (bm25.py docstring; double precision, codegen'd), weighted.
+    # (Kept in EXACTLY the single-query association order — folding the
+    # per-term constants driver-side was measured a wash here, the
+    # stage is shuffle/agg-bound, and 1-ulp drift breaks the
+    # row-identical-to-topk contract.)
     tf = F.col("tf").cast("double")
     dfc = F.col("df").cast("double")
     idf = F.greatest(
@@ -191,10 +220,17 @@ def batch_topk(
     denom = F.greatest(tf + F.lit(k1) * (1.0 - b + b * norm), F.lit(1e-6))
     contrib = F.col("weight") * idf * (tf * (k1 + 1.0)) / denom
 
-    scored = (
-        joined.select("query_id", "doc_id", contrib.alias("c"))
-        .groupBy("query_id", "doc_id")  # map-side partial combine
-        .agg(F.sum("c").alias("score"))
+    scored = joined.select("_qx", "doc_id", contrib.alias("c"))
+    if nparts > 1:
+        # pin the agg exchange to the same row-derived width: the final
+        # aggregation + rank window are CPU-bound over ~total_joined
+        # rows, so byte-based AQE coalescing would under-parallelize
+        # them (measured: the 64-query bench batch coalesced to 2 reduce
+        # tasks, 4x the wall time).  groupBy reuses this partitioning —
+        # no extra exchange.
+        scored = scored.repartition(nparts, "_qx", "doc_id")
+    scored = scored.groupBy("_qx", "doc_id").agg(  # map-side partial combine
+        F.sum("c").alias("score")
     )
 
     # per-query top-k: a rank-filtered window, which Catalyst rewrites
@@ -205,13 +241,24 @@ def batch_topk(
         F.col("score").cast("float").desc(),
         F.col("doc_id").asc(),
     ]
-    w = Window.partitionBy("query_id").orderBy(*order)
+    w = Window.partitionBy("_qx").orderBy(*order)
     ranked = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= max_k  # literal -> WindowGroupLimit stays on
     )
     if len(set(k_by_query.values())) > 1:
         k_map = F.create_map(
-            *[x for qid, kq in k_by_query.items() for x in (F.lit(qid), F.lit(kq))]
+            *[
+                x
+                for qid, kq in k_by_query.items()
+                for x in (F.lit(qx_of[qid]), F.lit(kq))
+            ]
         )
-        ranked = ranked.where(F.col("rank") <= k_map[F.col("query_id")])
-    return ranked.select("query_id", "doc_id", "score", "rank")
+        ranked = ranked.where(F.col("rank") <= k_map[F.col("_qx")])
+    qnames = local_df(
+        spark,
+        [(qx, qid) for qid, qx in qx_of.items() if qx in set(live_qx)],
+        "_qx INT, query_id STRING",
+    )
+    return ranked.join(F.broadcast(qnames), "_qx").select(
+        "query_id", "doc_id", "score", "rank"
+    )

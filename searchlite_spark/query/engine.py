@@ -575,6 +575,8 @@ class Searcher:
         details, reader.rs:3366-3382; attached only to hits the rescore
         window actually re-scored), ``final_score``.  Every job here
         filters to the <=limit returned ids (isin pushdown)."""
+        from searchlite_spark.localrel import local_df
+
         ids = [h["doc_id"] for h in hits]
 
         base_q, wrapped = self._unwrap_score_mutators(request.get("query"))
@@ -583,8 +585,8 @@ class Searcher:
             base_req = {"query": base_q}
             if request.get("fuzzy"):
                 base_req["fuzzy"] = request["fuzzy"]
-            ids_df = self.spark.createDataFrame(
-                [(int(i),) for i in ids], "doc_id LONG"
+            ids_df = local_df(
+                self.spark, [(int(i),) for i in ids], "doc_id LONG"
             )
             base_map = {
                 r["doc_id"]: float(r["score"])
@@ -599,8 +601,8 @@ class Searcher:
         rs_map: dict[int, float] = {}
         rs_fn_map: dict[int, list[dict]] = {}
         if resc_req:
-            ids_df = self.spark.createDataFrame(
-                [(int(i),) for i in ids], "doc_id LONG"
+            ids_df = local_df(
+                self.spark, [(int(i),) for i in ids], "doc_id LONG"
             )
             rs_map = {
                 r["doc_id"]: float(r["score"])
@@ -1000,7 +1002,9 @@ class Searcher:
         )
 
     def _empty_hits(self) -> DataFrame:
-        return self.spark.createDataFrame([], "doc_id LONG, score DOUBLE")
+        from searchlite_spark.localrel import local_df
+
+        return local_df(self.spark, [], "doc_id LONG, score DOUBLE")
 
     def _term_stats_for(self, keys) -> dict[str, tuple[int, int]]:
         """{key: (df, max_tf)} via the reader-level cache; ONE bounded
@@ -1047,10 +1051,17 @@ class Searcher:
                     int(df_map.get(k, 0)),
                 )
             )
-        return self.spark.createDataFrame(
+        from searchlite_spark.localrel import local_df
+
+        return local_df(
+            self.spark,
             rows,
             "term STRING, groups ARRAY<INT>, weight DOUBLE, leaf INT, field STRING, df_key LONG",
         )
+
+    @staticmethod
+    def _max_group_id(plan) -> int:
+        return max((g.group_id for g in (plan.term_groups or [])), default=0)
 
     @staticmethod
     def _matcher_conjunctive(m, key_groups, all_keys):
@@ -1167,11 +1178,22 @@ class Searcher:
                 F.sum("_contrib").alias("_score")
             )
         if pure and group_mode == "count":
-            # conjunctive path: every key carries exactly one group id;
-            # count distinct matched groups codegen-side
-            return joined.withColumn(
-                "_gid", F.element_at(F.col("groups"), 1)
-            ).groupBy("doc_id").agg(
+            # conjunctive path: every key carries exactly one group id.
+            # Distinct-group counting runs as a bit_count(bit_or(1<<gid))
+            # one-hot mask — ONE codegen'd exchange, where count_distinct
+            # plans TWO (partial by (doc,gid) + final by doc; measured
+            # plan: 2 Exchange -> 1 on the bench bool_must query).
+            # Group ids are per-query ordinals, so <64 covers any real
+            # bool query; larger falls back to count_distinct.
+            gid = F.element_at(F.col("groups"), 1)
+            if self._max_group_id(plan) < 64:
+                return joined.withColumn(
+                    "_gmask", F.expr("shiftleft(1L, element_at(groups, 1))")
+                ).groupBy("doc_id").agg(
+                    F.sum("_contrib").alias("_score"),
+                    F.bit_count(F.bit_or("_gmask")).alias("_ng"),
+                )
+            return joined.withColumn("_gid", gid).groupBy("doc_id").agg(
                 F.sum("_contrib").alias("_score"),
                 F.count_distinct(F.col("_gid")).alias("_ng"),
             )
@@ -1258,11 +1280,15 @@ class Searcher:
                         map_rows.append((f"{fld}:{t}", spec.phrase_id, fld, b_idx))
         if not map_rows:
             return None
+        from searchlite_spark.localrel import local_df
+
         spark = self.spark
-        mapping = spark.createDataFrame(
-            map_rows, "term STRING, spec_id INT, field STRING, bucket INT"
+        mapping = local_df(
+            spark, map_rows, "term STRING, spec_id INT, field STRING, bucket INT"
         )
-        nb = spark.createDataFrame(nb_rows, "spec_id INT, field STRING, n_buckets INT")
+        nb = local_df(
+            spark, nb_rows, "spec_id INT, field STRING, n_buckets INT"
+        )
         keys = sorted({r[0] for r in map_rows})
         cand = (
             self.postings.where(F.col("term").isin(keys))
@@ -1292,6 +1318,16 @@ class Searcher:
             cand = cand.join(
                 surviving, ["doc_id", "spec_id", "field"], "left_semi"
             )
+        if all(s == 0 for s in slops.values()):
+            # all-zero-slop (the default phrase shape): fuse the whole
+            # evaluation into ONE groupBy(doc_id) aggregation — bucket
+            # completeness, per-bucket position merge and the adjacency
+            # fold all run as per-row higher-order expressions over the
+            # collected entry list.  The general path below pays a
+            # second exchange (per-(doc,spec,field) agg, then a
+            # groupBy(doc_id) collect_set); this one pays none
+            # (measured: 2 Exchange -> 1 on the bench phrase query).
+            return self._phrase_matches_fused(cand, nb_rows)
         # one positions shuffle; bucket completeness is checked on the
         # aggregated entry list (free), and the per-bucket merge +
         # ordered assembly happen as per-row higher-order expressions
@@ -1401,6 +1437,72 @@ class Searcher:
         return matched.groupBy("doc_id").agg(
             F.collect_set("spec_id").alias("_phrases")
         )
+
+    def _phrase_matches_fused(self, cand, nb_rows) -> DataFrame:
+        """(doc_id, _phrases ARRAY<INT>) for zero-slop phrase sets in a
+        SINGLE shuffle: collect every (spec, field, bucket, positions)
+        entry per doc, then evaluate each (spec, field)'s completeness
+        + adjacency fold as codegen'd array expressions.  Output is
+        value-identical to the general path (``_phrases`` is consumed
+        by membership only, matching.py:21)."""
+        grouped = cand.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct("spec_id", "field", "bucket", "positions")
+            ).alias("_ents")
+        )
+
+        def field_match(sid: int, fld: str, nbk: int) -> Column:
+            ents = F.filter(
+                F.col("_ents"),
+                lambda e: (e["spec_id"] == F.lit(sid))
+                & (e["field"] == F.lit(fld)),
+            )
+            complete = (
+                F.size(
+                    F.array_distinct(F.transform(ents, lambda e: e["bucket"]))
+                )
+                == F.lit(nbk)
+            )
+            bp = F.transform(
+                F.sequence(F.lit(0), F.lit(nbk - 1)),
+                lambda b: F.sort_array(
+                    F.array_distinct(
+                        F.flatten(
+                            F.transform(
+                                F.filter(ents, lambda e: e["bucket"] == b),
+                                lambda e: e["positions"],
+                            )
+                        )
+                    )
+                ),
+            )
+            first = F.element_at(bp, 1)
+            if nbk == 1:
+                # single-bucket phrase: any position at all matches
+                # (empty-positions contract: positionless -> no match)
+                return complete & (F.size(first) > 0)
+            surv = F.aggregate(
+                F.slice(bp, 2, nbk - 1),
+                first,
+                lambda acc, p: F.array_intersect(
+                    F.transform(acc, lambda x: x + 1), p
+                ),
+            )
+            return complete & (F.size(surv) > 0)
+
+        by_spec: dict[int, list[Column]] = {}
+        for sid, fld, nbk in nb_rows:
+            by_spec.setdefault(sid, []).append(field_match(sid, fld, nbk))
+        arms = []
+        for sid, conds in sorted(by_spec.items()):
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            arms.append(F.when(cond, F.lit(sid)))
+        phrases = F.array_compact(F.array(*arms)).cast("array<int>")
+        return grouped.select(
+            "doc_id", phrases.alias("_phrases")
+        ).where(F.size("_phrases") > 0)
 
     # -- sorting ----------------------------------------------------------
 

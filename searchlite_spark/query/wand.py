@@ -83,10 +83,25 @@ def wand_topk(
     payloads the row-level anti-join cannot reach inside)."""
     keys = sorted(key_meta)
     if not keys:
-        return spark.createDataFrame([], KERNEL_SCHEMA)
+        from searchlite_spark.localrel import local_df
+
+        return local_df(spark, [], KERNEL_SCHEMA)
+    nparts = None
     if bucket_width is None:
+        # kernel parallelism follows DOC COUNT, not shuffle bytes: the
+        # kernel is CPU-bound numpy over compressed blocks, so AQE's
+        # byte-based coalescing (tuned for I/O-bound reducers) would
+        # under-parallelize it — a 1M-doc bucket shuffle is only ~50 MB
+        # but seconds of decode.  Explicitly pinning the partition count
+        # (scale-adaptive: ~docsPerTask docs per kernel task, capped at
+        # spark.sql.shuffle.partitions) keeps tiny indexes on ONE task
+        # (no 32-way scheduling for kilobytes) and big ones parallel.
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        bucket_width = max(n_docs // (parts * 2), 1024)
+        docs_per_task = int(
+            spark.conf.get("spark.searchlite.wand.docsPerTask", "250000")
+        )
+        nparts = max(1, min(parts, (n_docs + docs_per_task - 1) // docs_per_task))
+        bucket_width = max(n_docs // (nparts * 2), 1024)
 
     # ---- 1. threshold seed from the highest-UB term ----
     ubs = {
@@ -147,6 +162,10 @@ def wand_topk(
         meta[key]["idf"] = float(idf[key])
 
     kernel = _make_kernel(meta, theta, k, mode, bucket_width, k1, b, counters)
+    if nparts is not None:
+        # user-pinned partition count: groupBy reuses this exact hash
+        # partitioning (no second exchange) and AQE leaves it alone
+        bucketed = bucketed.repartition(nparts, "bucket")
     out_schema = "bucket LONG, doc_id LONG, score DOUBLE"
     if exclude is not None:
         # tombstones flow to the kernel as cogrouped per-bucket rows —

@@ -32,6 +32,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # byte-targeted post-shuffle partitioning (guide §2.2): respect
+        # advisoryPartitionSizeInBytes instead of padding the partition
+        # count up to defaultParallelism.  Scale-adaptive by
+        # construction — a kilobyte-sized shuffle (one query's matched
+        # set) coalesces to 1 task instead of 32 scheduling slots, a
+        # 100 TB shuffle still gets ~64 MB reducers from the same rule.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
