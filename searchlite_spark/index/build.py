@@ -684,11 +684,22 @@ def build_index(
         chunk_w = max(n_docs // num_partitions, 1)
         salt = (F.col("doc_id") / F.lit(int(chunk_w))).cast("long")
         if adaptive_layout:
-            # no fixed N: AQE sizes the reducers (and thus the files)
-            # by bytes; rows within each coalesced partition are still
-            # (term, doc_id)-sorted by the local sort below
+            # reducer/file count derived from the DOC COUNT (the
+            # postings row count is ~n_docs * avgdl — known-shaped
+            # before the tokenize runs), capped at the configured
+            # shuffle width: a 5k-doc index writes 1 file, a 50k-doc
+            # one ~6 (parallel sort+encode instead of one 2-second
+            # task), and at cluster scale the cap (a per-deployment
+            # setting) governs.  Pure byte-based AQE coalescing was
+            # measured to serialize this stage: ~40 MB of shuffled
+            # postings is one advisory-sized reducer but seconds of
+            # sort + parquet encode.
+            dpr = int(
+                spark.conf.get("spark.searchlite.build.docsPerReducer", "8000")
+            )
+            n_red = max(1, min(num_partitions, 1 + int(n_docs) // dpr))
             postings_sorted = postings_flat.repartition(
-                F.col("term"), salt
+                n_red, F.col("term"), salt
             ).sortWithinPartitions("term", "doc_id")
         else:
             postings_sorted = postings_flat.repartition(

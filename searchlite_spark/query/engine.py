@@ -1327,7 +1327,10 @@ class Searcher:
             # second exchange (per-(doc,spec,field) agg, then a
             # groupBy(doc_id) collect_set); this one pays none
             # (measured: 2 Exchange -> 1 on the bench phrase query).
-            return self._phrase_matches_fused(cand, nb_rows)
+            est_rows = sum(
+                v[0] for v in self._term_stats_for(sorted(keys)).values()
+            )
+            return self._phrase_matches_fused(cand, nb_rows, est_rows)
         # one positions shuffle; bucket completeness is checked on the
         # aggregated entry list (free), and the per-bucket merge +
         # ordered assembly happen as per-row higher-order expressions
@@ -1438,13 +1441,26 @@ class Searcher:
             F.collect_set("spec_id").alias("_phrases")
         )
 
-    def _phrase_matches_fused(self, cand, nb_rows) -> DataFrame:
+    def _phrase_matches_fused(self, cand, nb_rows, est_rows=0) -> DataFrame:
         """(doc_id, _phrases ARRAY<INT>) for zero-slop phrase sets in a
         SINGLE shuffle: collect every (spec, field, bucket, positions)
         entry per doc, then evaluate each (spec, field)'s completeness
         + adjacency fold as codegen'd array expressions.  Output is
         value-identical to the general path (``_phrases`` is consumed
-        by membership only, matching.py:21)."""
+        by membership only, matching.py:21).
+
+        est_rows (Σ df over the phrase keys, from the cached
+        dictionary): the post-shuffle evaluation is CPU-bound array
+        expression work, so its parallelism is pinned row-derived —
+        byte-based AQE coalescing would run a multi-second position
+        merge on one advisory-sized task."""
+        rpt = int(
+            self.spark.conf.get("spark.searchlite.phrase.rowsPerTask", "16384")
+        )
+        cap = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        nparts = max(1, min(cap, int(est_rows) // rpt + 1))
+        if nparts > 1:
+            cand = cand.repartition(nparts, "doc_id")
         grouped = cand.groupBy("doc_id").agg(
             F.collect_list(
                 F.struct("spec_id", "field", "bucket", "positions")
