@@ -499,7 +499,11 @@ def sample_n_per_stratum(
             .drop("_rn", "_c")
         )
 
-    picked = top_n(cand)
+    # localCheckpoint: the shortfall-check job below and the returned
+    # plan must not EACH re-run the prefilter + window (the window was
+    # executed twice per call; the checkpointed blocks die with the
+    # returned plan)
+    picked = top_n(cand).localCheckpoint(eager=False)
     got = picked.groupBy(strata_col).agg(F.count("*").alias("_g"))
     short = (
         counts.join(got, strata_col, "left")

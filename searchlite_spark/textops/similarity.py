@@ -1221,8 +1221,16 @@ def semantic_dedup(
                 {id_col: pdf[id_col], "max_prior_sim": out}
             )
 
+        # the per-cell matmul is CPU-bound (BLAS over every ranked
+        # vector), so pin the exchange at the configured shuffle width
+        # instead of letting byte-based AQE coalescing fold ~MBs of
+        # vectors onto one task (cells are many — hash spreads them)
+        cells_cap = int(
+            ranked.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         prior = (
             ranked.select(id_col, "list_id", "_v", "rank")
+            .repartition(cells_cap, "list_id")
             .groupBy("list_id")
             .applyInPandas(
                 cell_prior, f"{id_col} LONG, max_prior_sim DOUBLE"
