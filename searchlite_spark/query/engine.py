@@ -881,7 +881,7 @@ class Searcher:
 
         scored = None
         if all_keys:
-            key_df = self._key_info_df(all_keys, key_groups, key_weight)
+            key_rows = self._key_info_rows(all_keys, key_groups, key_weight)
             cand = self.postings.where(F.col("term").isin(all_keys)).select(
                 "doc_id", "term", "tf", "dl"
             )
@@ -891,7 +891,7 @@ class Searcher:
                 "none" if vacuous else ("count" if conj_need else "full")
             )
             scored = self._score_candidates(
-                cand, key_df, needs_score, plan, group_mode=group_mode
+                cand, key_rows, needs_score, plan, group_mode=group_mode
             )
 
         if vacuous or conj_need:
@@ -1025,8 +1025,9 @@ class Searcher:
                 self._term_stats[k] = found.get(k, (0, 0))
         return {k: self._term_stats[k] for k in keys}
 
-    def _key_info_df(self, all_keys, key_groups, key_weight) -> DataFrame:
-        """(term, groups, weight, leaf, df_key) — df from the dictionary.
+    def _key_info_rows(self, all_keys, key_groups, key_weight) -> list[tuple]:
+        """Per-key info rows (term, groups, weight, leaf, field, df_key)
+        — df from the dictionary.
 
         Per-term df values are cached on the Searcher (the index is an
         immutable snapshot, so dfs never change under us — the
@@ -1051,12 +1052,61 @@ class Searcher:
                     int(df_map.get(k, 0)),
                 )
             )
-        from searchlite_spark.localrel import local_df
+        return rows
 
-        return local_df(
-            self.spark,
-            rows,
-            "term STRING, groups ARRAY<INT>, weight DOUBLE, leaf INT, field STRING, df_key LONG",
+    # above this many keys the per-key info rides a broadcast join
+    # (wildcard/fuzzy expansions); below it, literal CASE WHEN columns
+    _KEY_LITERAL_MAX = 64
+
+    def _attach_key_info(self, cand: DataFrame, rows: list[tuple]) -> DataFrame:
+        """``cand`` with (groups, weight, leaf, field, df_key) columns.
+
+        Small key sets (the overwhelmingly common case) inline the info
+        as chained ``CASE term WHEN ...`` literal columns: zero extra
+        table, zero broadcast — even a LocalRelation broadcast costs
+        one N-task materialization job per fresh plan, which at this
+        query's scale is a measurable slice of the latency floor.
+        Large expansions fall back to the broadcast join so plan size
+        stays bounded."""
+        if len(rows) > self._KEY_LITERAL_MAX:
+            from searchlite_spark.localrel import local_df
+
+            key_df = local_df(
+                self.spark,
+                rows,
+                "term STRING, groups ARRAY<INT>, weight DOUBLE, leaf INT, field STRING, df_key LONG",
+            )
+            return cand.join(F.broadcast(key_df), "term")
+
+        term = F.col("term")
+
+        def chain(idx, dtype, mk):
+            c = None
+            for r in rows:
+                v = r[idx]
+                lv = mk(v) if v is not None else F.lit(None).cast(dtype)
+                c = (
+                    F.when(term == F.lit(r[0]), lv)
+                    if c is None
+                    else c.when(term == F.lit(r[0]), lv)
+                )
+            return c.otherwise(F.lit(None).cast(dtype))
+
+        def mk_groups(g):
+            if not g:
+                return F.array().cast("array<int>")
+            return F.array(*[F.lit(int(x)) for x in g]).cast("array<int>")
+
+        return (
+            cand.withColumn("groups", chain(1, "array<int>", mk_groups))
+            .withColumn("weight", chain(2, "double", lambda v: F.lit(float(v))))
+            .withColumn(
+                "leaf", chain(3, "int", lambda v: F.lit(int(v)).cast("int"))
+            )
+            .withColumn("field", chain(4, "string", F.lit))
+            .withColumn(
+                "df_key", chain(5, "long", lambda v: F.lit(int(v)).cast("long"))
+            )
         )
 
     @staticmethod
@@ -1123,7 +1173,7 @@ class Searcher:
     def _score_candidates(
         self,
         cand: DataFrame,
-        key_df: DataFrame,
+        key_rows: list[tuple],
         needs_score: bool,
         plan,
         group_mode: str = "full",
@@ -1133,7 +1183,7 @@ class Searcher:
         (pure-AND matchers); "none" = no group tracking (vacuous
         matchers).  "count"/"none" keep the aggregate inside whole-stage
         codegen — no ObjectHashAggregate, no arrays in the shuffle."""
-        joined = cand.join(F.broadcast(key_df), "term")
+        joined = self._attach_key_info(cand, key_rows)
         if needs_score:
             dl_expr = F.col("dl")
             n_docs = self.stats["n_docs"]
