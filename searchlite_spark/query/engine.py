@@ -1054,9 +1054,12 @@ class Searcher:
             )
         return rows
 
-    # above this many keys the per-key info rides a broadcast join
-    # (wildcard/fuzzy expansions); below it, literal CASE WHEN columns
-    _KEY_LITERAL_MAX = 64
+    # literal CASE WHEN key info only while the per-row branch scan is
+    # cheaper than a hash-join probe: few keys AND bounded (Σ df × keys)
+    # evaluation work — a CASE chain is linear in branches per posting
+    # row, so at head-term volume the broadcast join wins back
+    _KEY_LITERAL_MAX = 16
+    _KEY_LITERAL_WORK_MAX = 20_000_000
 
     def _attach_key_info(self, cand: DataFrame, rows: list[tuple]) -> DataFrame:
         """``cand`` with (groups, weight, leaf, field, df_key) columns.
@@ -1066,9 +1069,14 @@ class Searcher:
         table, zero broadcast — even a LocalRelation broadcast costs
         one N-task materialization job per fresh plan, which at this
         query's scale is a measurable slice of the latency floor.
-        Large expansions fall back to the broadcast join so plan size
-        stays bounded."""
-        if len(rows) > self._KEY_LITERAL_MAX:
+        Large expansions (many keys, or head-term df volumes where the
+        per-row branch scan would out-cost a hash probe) fall back to
+        the broadcast join so plan size and per-row work stay bounded."""
+        total_df = sum(r[5] for r in rows)
+        if (
+            len(rows) > self._KEY_LITERAL_MAX
+            or total_df * len(rows) > self._KEY_LITERAL_WORK_MAX
+        ):
             from searchlite_spark.localrel import local_df
 
             key_df = local_df(
