@@ -220,6 +220,10 @@ def batch_topk(
     denom = F.greatest(tf + F.lit(k1) * (1.0 - b + b * norm), F.lit(1e-6))
     contrib = F.col("weight") * idf * (tf * (k1 + 1.0)) / denom
 
+    # (A packed single-long (qx, doc) agg key — guide §2.3 "narrower
+    # types" — was tried and A/B-measured at 1M docs: no reproducible
+    # win over the two-column codegen hash agg; reverted for
+    # simplicity.)
     scored = joined.select("_qx", "doc_id", contrib.alias("c"))
     if nparts > 1:
         # pin the agg exchange to the same row-derived width: the final
