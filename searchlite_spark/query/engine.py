@@ -878,6 +878,54 @@ class Searcher:
             if (simple_shape and not vacuous)
             else None
         )
+        # Negation fast path (scored OR + pure NOT, e.g. "spark -query"):
+        # instead of scanning positive AND negative keys into one
+        # ObjectHashAggregate that collects group-id arrays per doc, run
+        # the positive keys through the vacuous codegen'd sum aggregate
+        # and LEFT ANTI join the negative keys' doc ids (guide §2.7
+        # anti-join shape; everything stays whole-stage codegen).  The
+        # anti join reuses the aggregate's doc_id partitioning, so only
+        # the negative doc ids shuffle.  Exact same matched set: the
+        # matcher is (>=1 positive group) AND (no negative group), and
+        # each side is evaluated by its own scan.
+        neg_keys: list[str] | None = None
+        if simple_shape and not vacuous and conj_need is None:
+            neg_keys = self._matcher_negation_split(
+                plan.matcher, key_groups, all_keys
+            )
+        if neg_keys is not None:
+            pos_keys = [k for k in all_keys if k not in set(neg_keys)]
+            key_rows = self._key_info_rows(pos_keys, key_groups, key_weight)
+            # profile parity: candidates_examined counts EVERY scanned
+            # key's postings, negative ones included
+            stats = self._term_stats_for(all_keys)
+            self._last_candidates = int(sum(v[0] for v in stats.values()))
+            cand = self.postings.where(F.col("term").isin(pos_keys)).select(
+                "doc_id", "term", "tf", "dl"
+            )
+            if doc_subset is not None:
+                cand = cand.join(F.broadcast(doc_subset), "doc_id", "left_semi")
+            scored = self._score_candidates(
+                cand, key_rows, needs_score, plan, group_mode="none"
+            )
+            neg_docs = self.postings.where(
+                F.col("term").isin(sorted(neg_keys))
+            ).select("doc_id")
+            matched = scored.join(neg_docs, "doc_id", "left_anti")
+            if plan.root_filter:
+                needed_cols = self._needed_doc_columns(plan)
+                if needed_cols:
+                    matched = matched.join(
+                        self.docs.select("doc_id", *sorted(needed_cols)),
+                        "doc_id",
+                        "left",
+                    )
+                matched = matched.where(
+                    compile_filters(matched, plan.root_filter)
+                )
+            return matched.select(
+                "doc_id", F.coalesce(F.col("_score"), F.lit(0.0)).alias("score")
+            )
 
         scored = None
         if all_keys:
@@ -1157,6 +1205,42 @@ class Searcher:
                 return None
             return len(need)
         return None
+
+    @staticmethod
+    def _matcher_negation_split(m, key_groups, all_keys):
+        """Negative-only key list when the matcher is a scored OR with
+        pure negation — (>=1 of term_groups) AND (none of
+        not_term_groups), msm<=1 — and every key belongs EXCLUSIVELY to
+        positive groups or exclusively to negative ones (a key in both,
+        e.g. "spark -spark", stays on the general path).  Returns None
+        when ineligible."""
+        if not isinstance(m, P.QueryStringMatcher):
+            return None
+        if (
+            m.phrase_groups
+            or not m.not_term_groups
+            or not m.term_groups
+            or (m.minimum_should_match or 1) > 1
+        ):
+            return None
+        pos_gids = set(m.term_groups)
+        neg_gids = set(m.not_term_groups)
+        if pos_gids & neg_gids:
+            return None
+        neg_keys = []
+        for k in all_keys:
+            gids = set(key_groups.get(k) or ())
+            if not gids or (gids - pos_gids - neg_gids):
+                return None
+            if gids <= neg_gids:
+                neg_keys.append(k)
+            elif gids <= pos_gids:
+                continue
+            else:  # mixed positive+negative key
+                return None
+        if not neg_keys or len(neg_keys) == len(all_keys):
+            return None
+        return neg_keys
 
     @staticmethod
     def _matcher_vacuous(m, key_groups, all_keys) -> bool:
