@@ -244,7 +244,10 @@ def bpe_encode(
     import pandas as pd
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    schema = f"{id_col} LONG, tokens ARRAY<STRING>, n_tokens INT"
+    # id type follows the input (ADVICE r6: a non-long id column must
+    # not fail or be silently coerced by a hardcoded LONG)
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_ddl}, tokens ARRAY<STRING>, n_tokens INT"
 
     def run(batches):
         cache: dict[str, list[str]] = {}

@@ -994,12 +994,27 @@ def _kmeans_np(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).where(F.col(vec_col).isNotNull())
+    # sample_size=None caps training at 1M rows (unlike the fold-path
+    # ivf_train, which trains on the full input) — the cap bounds
+    # driver memory; pass an explicit sample_size to change it
+    # (ADVICE r6: the divergence between the two trainers is now
+    # documented and short samples warn instead of silently returning
+    # fewer centroids)
     cap = int(sample_size) if sample_size is not None else 1_000_000
     rows = (
         vecs.orderBy(F.xxhash64("_id"), F.col("_id")).limit(cap).collect()
     )
     if not rows:
         raise ValueError("semantic_dedup: empty input")
+    if len(rows) < int(k):
+        import warnings
+
+        warnings.warn(
+            f"_kmeans_np: only {len(rows)} training rows for k={k}; "
+            f"returning {len(rows)} centroids",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     x = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
     cents = x[: int(k)].copy()
     x2 = (x * x).sum(axis=1)
@@ -1127,9 +1142,10 @@ def semantic_dedup(
                     }
                 )
 
+        id_ddl = vecs.schema[id_col].dataType.simpleString()
         with_cos = vecs.mapInPandas(
             assign_batches,
-            f"{id_col} LONG, list_id INT, _ccos DOUBLE, _v ARRAY<DOUBLE>",
+            f"{id_col} {id_ddl}, list_id INT, _ccos DOUBLE, _v ARRAY<DOUBLE>",
         )
     else:
         if centroids is None:
@@ -1228,12 +1244,13 @@ def semantic_dedup(
         cells_cap = int(
             ranked.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        id_ddl = ranked.schema[id_col].dataType.simpleString()
         prior = (
             ranked.select(id_col, "list_id", "_v", "rank")
             .repartition(cells_cap, "list_id")
             .groupBy("list_id")
             .applyInPandas(
-                cell_prior, f"{id_col} LONG, max_prior_sim DOUBLE"
+                cell_prior, f"{id_col} {id_ddl}, max_prior_sim DOUBLE"
             )
         )
     else:
