@@ -751,12 +751,16 @@ def build_index(
         F.sum("tf").alias("cf"),
         F.max("tf").alias("max_tf"),
     )
-    if adaptive_layout:
-        terms_agg = terms_agg.repartitionByRange(F.col("term"))
-    else:
+    if not adaptive_layout:
         terms_agg = terms_agg.repartitionByRange(
             max(num_partitions // 4, 1), "term"
         )
+    # adaptive mode writes the aggregate output directly: it is already
+    # hash(term)-partitioned (AQE coalesces the reduce side by bytes)
+    # and the local term sort keeps per-file row-group min/max tight for
+    # the dictionary's pushed term-IN scans — a repartitionByRange here
+    # would run a range-sampling job that RE-EXECUTES the aggregation
+    # just to get globally ordered files nothing depends on.
     (
         terms_agg.sortWithinPartitions("term")
         .write.mode("overwrite")
