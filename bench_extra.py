@@ -21,11 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import bench as B  # frozen harness: reuse its query set + builder
 
-
-def _median(xs):
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+_median = B._median  # the recorded numbers are defined by the frozen helper
 
 
 def main():

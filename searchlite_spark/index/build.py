@@ -751,16 +751,17 @@ def build_index(
         F.sum("tf").alias("cf"),
         F.max("tf").alias("max_tf"),
     )
-    if not adaptive_layout:
+    # range partitioning (not hash) is load-bearing here: range-disjoint
+    # files mean a term-IN dictionary probe touches ONE file's footer on
+    # a multi-file dictionary instead of all of them.  The range
+    # sampler's re-execution of the aggregate was measured negligible
+    # (terms phase unchanged at 0.44 s), so both layouts keep it.
+    if adaptive_layout:
+        terms_agg = terms_agg.repartitionByRange(F.col("term"))
+    else:
         terms_agg = terms_agg.repartitionByRange(
             max(num_partitions // 4, 1), "term"
         )
-    # adaptive mode writes the aggregate output directly: it is already
-    # hash(term)-partitioned (AQE coalesces the reduce side by bytes)
-    # and the local term sort keeps per-file row-group min/max tight for
-    # the dictionary's pushed term-IN scans — a repartitionByRange here
-    # would run a range-sampling job that RE-EXECUTES the aggregation
-    # just to get globally ordered files nothing depends on.
     (
         terms_agg.sortWithinPartitions("term")
         .write.mode("overwrite")

@@ -225,15 +225,33 @@ def batch_topk(
     # win over the two-column codegen hash agg; reverted for
     # simplicity.)
     scored = joined.select("_qx", "doc_id", contrib.alias("c"))
-    if nparts > 1:
-        # pin the agg exchange to the same row-derived width: the final
-        # aggregation + rank window are CPU-bound over ~total_joined
-        # rows, so byte-based AQE coalescing would under-parallelize
-        # them (measured: the 64-query bench batch coalesced to 2 reduce
-        # tasks, 4x the wall time).  groupBy reuses this partitioning —
-        # no extra exchange.
+    # The final aggregation + rank window are CPU-bound over
+    # ~total_joined rows, so byte-based AQE coalescing can
+    # under-parallelize them (measured: the 64-query bench batch
+    # coalesced to 2 reduce tasks, 4x the wall time).  A pinned
+    # repartition on the agg key fixes that — but it also moves the
+    # exchange BELOW the partial aggregate, shipping raw per-(query,
+    # term, doc) rows instead of map-side-combined ones.  So pin ONLY
+    # when AQE's byte-derived width would fall short of the row-derived
+    # target: at real scale the shuffle bytes alone yield >= nparts
+    # advisory-sized reducers and the plain groupBy keeps its map-side
+    # combine ("one row after partial aggregation, never t").
+    def _size_bytes(v: str) -> int:
+        v = v.strip().lower()
+        for suf, mul in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                         ("b", 1)):
+            if v.endswith(suf):
+                return int(float(v[: -len(suf)])) * mul
+        return int(v)
+
+    advisory = _size_bytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    )
+    est_shuffle_bytes = total_joined * 24  # qx INT + doc LONG + sum DOUBLE
+    aqe_parts = max(1, est_shuffle_bytes // max(advisory, 1))
+    if nparts > 1 and aqe_parts < nparts:
         scored = scored.repartition(nparts, "_qx", "doc_id")
-    scored = scored.groupBy("_qx", "doc_id").agg(  # map-side partial combine
+    scored = scored.groupBy("_qx", "doc_id").agg(
         F.sum("c").alias("score")
     )
 
@@ -258,9 +276,10 @@ def batch_topk(
             ]
         )
         ranked = ranked.where(F.col("rank") <= k_map[F.col("_qx")])
+    live = set(live_qx)
     qnames = local_df(
         spark,
-        [(qx, qid) for qid, qx in qx_of.items() if qx in set(live_qx)],
+        [(qx, qid) for qid, qx in qx_of.items() if qx in live],
         "_qx INT, query_id STRING",
     )
     return ranked.join(F.broadcast(qnames), "_qx").select(

@@ -1425,14 +1425,8 @@ class Searcher:
         from searchlite_spark.localrel import local_df
 
         spark = self.spark
-        mapping = local_df(
-            spark, map_rows, "term STRING, spec_id INT, field STRING, bucket INT"
-        )
-        nb = local_df(
-            spark, nb_rows, "spec_id INT, field STRING, n_buckets INT"
-        )
         keys = sorted({r[0] for r in map_rows})
-        cand = (
+        base = (
             self.postings.where(F.col("term").isin(keys))
             # enable_positions=false indexes store NULL positions;
             # coalescing to [] makes every downstream stage see empty
@@ -1447,9 +1441,51 @@ class Searcher:
                     F.col("positions"), F.array().cast("array<int>")
                 ).alias("positions"),
             )
-            .join(F.broadcast(mapping), "term")
         )
+        by_term: dict[str, list[tuple]] = {}
+        for t, sid, fld, b in map_rows:
+            by_term.setdefault(t, []).append((sid, fld, b))
+        est_rows = sum(v[0] for v in self._term_stats_for(keys).values())
+        if (
+            all(len(v) == 1 for v in by_term.values())
+            and len(keys) <= self._KEY_LITERAL_MAX
+            and est_rows * len(keys) <= self._KEY_LITERAL_WORK_MAX
+        ):
+            # 1:1 term -> (spec, field, bucket) — the common phrase
+            # shape: inline as literal CASE columns, same rationale and
+            # bounds as _attach_key_info (no broadcast table, no N-task
+            # broadcast-materialization job per fresh plan).  Repeated
+            # tokens ("the the") map one term to several buckets and
+            # fall back to the broadcast join, which can duplicate rows.
+            term = F.col("term")
+
+            def chain(idx, dtype):
+                c = None
+                for t in keys:
+                    v = by_term[t][0][idx]
+                    c = (
+                        F.when(term == F.lit(t), F.lit(v))
+                        if c is None
+                        else c.when(term == F.lit(t), F.lit(v))
+                    )
+                return c.otherwise(F.lit(None).cast(dtype)).cast(dtype)
+
+            cand = (
+                base.withColumn("spec_id", chain(0, "int"))
+                .withColumn("field", chain(1, "string"))
+                .withColumn("bucket", chain(2, "int"))
+            )
+        else:
+            mapping = local_df(
+                spark,
+                map_rows,
+                "term STRING, spec_id INT, field STRING, bucket INT",
+            )
+            cand = base.join(F.broadcast(mapping), "term")
         if self._phrase_prefilter_worthwhile(keys):
+            nb = local_df(
+                spark, nb_rows, "spec_id INT, field STRING, n_buckets INT"
+            )
             surviving = (
                 cand.groupBy("doc_id", "spec_id", "field")
                 .agg(F.countDistinct("bucket").alias("_nb"))
@@ -1469,14 +1505,14 @@ class Searcher:
             # second exchange (per-(doc,spec,field) agg, then a
             # groupBy(doc_id) collect_set); this one pays none
             # (measured: 2 Exchange -> 1 on the bench phrase query).
-            est_rows = sum(
-                v[0] for v in self._term_stats_for(sorted(keys)).values()
-            )
             return self._phrase_matches_fused(cand, nb_rows, est_rows)
         # one positions shuffle; bucket completeness is checked on the
         # aggregated entry list (free), and the per-bucket merge +
         # ordered assembly happen as per-row higher-order expressions
         # (buckets per phrase are tiny)
+        nb = local_df(
+            spark, nb_rows, "spec_id INT, field STRING, n_buckets INT"
+        )
         grouped = (
             cand.groupBy("doc_id", "spec_id", "field")
             .agg(F.collect_list(F.struct("bucket", "positions")).alias("_ents"))
